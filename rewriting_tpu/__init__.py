@@ -1,0 +1,19 @@
+"""rewriting_tpu — a TPU-native (JAX/XLA/Pallas) model-rewriting framework.
+
+A ground-up rebuild of the capabilities of davidbau/rewriting ("Rewriting a
+Deep Generative Model", ECCV 2020) designed for TPU hardware:
+
+- Generators (ProgGAN, StyleGAN2) are *functional stage pipelines* — ordered
+  lists of named pure functions over a params pytree and a DataBag dict —
+  instead of torch ``nn.Sequential`` modules (reference: utils/proggan.py,
+  utils/stylegan2/models.py).
+- Model surgery (reference: utils/nethook.py ``subsequence``) is list slicing
+  of the stage pipeline; instrumentation is explicit value capture, not
+  forward hooks.
+- Streaming statistics (reference: utils/runningstats.py, utils/tally.py) are
+  jit-compatible reducer states that can be psum-merged across a device mesh.
+- The rank-constrained linear-associative-memory weight edit (reference:
+  rewrite/ganrewrite.py) is a single jitted ``lax.fori_loop`` optimization.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,230 @@
+"""Progressive GAN generator as a functional stage pipeline.
+
+Mirrors the reference architecture (utils/proggan.py:65-193) — a flat
+sequence of named blocks ``layer1..layerN, output_DxD`` where each block is
+PixelNorm -> (optional 2x nearest upsample) -> Conv (no bias) -> WScale
+(runtime weight scaling + bias) -> LeakyReLU(0.2), with a final 1x1 output
+conv + hardtanh — but built TPU-first:
+
+- feature maps are NHWC (TPU conv layout); the latent z enters as a 1x1
+  feature map (reference: proggan.py:126-129);
+- conv weights are stored in OIHW (torch order) so checkpoint conversion and
+  the rewriting einsums (`oiyx,di->odyx`, ganrewrite.py:806-813) are
+  layout-identical to the reference, while the conv itself runs NHWC via
+  dimension_numbers (XLA folds the weight relayout into the compiled program);
+- every stage is a pure function, so any slice (context/target/rendering)
+  jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import DataBag, Stage, StagePipeline
+from ..ops.precision import get_precision
+
+RESOLUTION_SIZES = {
+    8: [512, 512, 512],
+    16: [512, 512, 512, 512],
+    32: [512, 512, 512, 512, 256],
+    64: [512, 512, 512, 512, 256, 128],
+    128: [512, 512, 512, 512, 256, 128, 64],
+    256: [512, 512, 512, 512, 256, 128, 64, 32],
+    1024: [512, 512, 512, 512, 512, 256, 128, 64, 32, 16],
+}
+
+
+# ---------------------------------------------------------------------------
+# Stage functions
+# ---------------------------------------------------------------------------
+
+def _input_stage(params, d: DataBag) -> DataBag:
+    z = d["latent"]
+    # z (B, C) viewed as a 1x1 NHWC feature map (reference proggan.py:126-129)
+    return DataBag(d, fmap=z.reshape(z.shape[0], 1, 1, z.shape[1]))
+
+
+def _pixel_norm(params, d: DataBag) -> DataBag:
+    x = d["fmap"]
+    return DataBag(d, fmap=x * lax.rsqrt(
+        jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8))
+
+
+def _upscale2x(params, d: DataBag) -> DataBag:
+    x = d["fmap"]
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return DataBag(d, fmap=x.reshape(n, h * 2, w * 2, c))
+
+
+def conv2d_nhwc_oihw(x, weight, padding: int):
+    """Plain conv: NHWC activations, OIHW weights (torch storage order)."""
+    return lax.conv_general_dilated(
+        x, weight,
+        window_strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=get_precision(),
+    )
+
+
+def _make_conv(padding: int):
+    def conv(params, d: DataBag) -> DataBag:
+        return DataBag(d, fmap=conv2d_nhwc_oihw(d["fmap"], params["weight"],
+                                                padding))
+    return conv
+
+
+def _make_wscale(scale: float):
+    def wscale(params, d: DataBag) -> DataBag:
+        # x*scale + b, scale = gain/sqrt(fan_in) (reference proggan.py:146-157)
+        return DataBag(d, fmap=d["fmap"] * scale + params["bias"])
+    return wscale
+
+
+def _leaky_relu(params, d: DataBag) -> DataBag:
+    x = d["fmap"]
+    return DataBag(d, fmap=jnp.where(x >= 0, x, 0.2 * x))
+
+
+def _hardtanh(params, d: DataBag) -> DataBag:
+    return DataBag(d, fmap=jnp.clip(d["fmap"], -1.0, 1.0))
+
+
+def _return_output(params, d: DataBag) -> DataBag:
+    return DataBag(d, output=d["fmap"])
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+class ProgressiveGenerator:
+    """Functional ProgGAN. `sizes` = [z_dim, 4x4_depth, 8x8_depth, ...]
+    (reference: utils/proggan.py:66-124). Output res = 2 * 2**len(sizes)."""
+
+    def __init__(self, resolution: Optional[int] = None,
+                 sizes: Optional[Sequence[int]] = None,
+                 output_tanh: bool = True):
+        assert (resolution is None) != (sizes is None)
+        if sizes is None:
+            sizes = RESOLUTION_SIZES[resolution]
+        self.sizes = list(sizes)
+        self.z_dim = self.sizes[0]
+        self.output_tanh = output_tanh
+
+        stages: List[Stage] = [Stage("input", _input_stage)]
+        self._conv_specs = {}  # name -> (in_c, out_c, kernel, padding, gain)
+
+        def add_block(name, in_c, out_c, ksize, padding, gain, upsample):
+            stages.append(Stage(f"{name}.norm", _pixel_norm))
+            if upsample:
+                stages.append(Stage(f"{name}.up", _upscale2x))
+            stages.append(Stage(f"{name}.conv", _make_conv(padding)))
+            scale = gain / math.sqrt(in_c)
+            stages.append(Stage(f"{name}.wscale", _make_wscale(scale)))
+            self._conv_specs[name] = (in_c, out_c, ksize, padding, gain)
+
+        layer_i = 0
+
+        def lname():
+            return "layer%d" % (layer_i + 1)
+
+        add_block(lname(), self.sizes[0], self.sizes[1], 4, 3,
+                  math.sqrt(2) / 4, upsample=False)
+        stages.append(Stage(f"{lname()}.relu", _leaky_relu))
+        layer_i += 1
+        add_block(lname(), self.sizes[1], self.sizes[1], 3, 1,
+                  math.sqrt(2) / 3, upsample=False)
+        stages.append(Stage(f"{lname()}.relu", _leaky_relu))
+        layer_i += 1
+        for si, so in zip(self.sizes[1:-1], self.sizes[2:]):
+            add_block(lname(), si, so, 3, 1, math.sqrt(2) / 3, upsample=True)
+            stages.append(Stage(f"{lname()}.relu", _leaky_relu))
+            layer_i += 1
+            add_block(lname(), so, so, 3, 1, math.sqrt(2) / 3, upsample=False)
+            stages.append(Stage(f"{lname()}.relu", _leaky_relu))
+            layer_i += 1
+
+        dim = 4 * (2 ** (layer_i // 2 - 1))
+        self.resolution = dim
+        out_name = "output_%dx%d" % (dim, dim)
+        add_block(out_name, self.sizes[-1], 3, 1, 0, 1.0, upsample=False)
+        if output_tanh:
+            stages.append(Stage(f"{out_name}.clamp", _hardtanh))
+        stages.append(Stage("output", _return_output))
+        self.output_layer = out_name
+        self.pipeline = StagePipeline(stages)
+
+    # -- parameters ---------------------------------------------------------
+    def init_params(self, key) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Random init: conv weights ~ N(0,1) (runtime wscale carries the
+        fan-in scaling, per the original ProgGAN scheme), bias ~ N(0,1)
+        matching the reference's WScaleLayer init (proggan.py:150)."""
+        params = {}
+        for name, (in_c, out_c, k, _, _) in self._conv_specs.items():
+            key, k1, k2 = jax.random.split(key, 3)
+            params[f"{name}.conv"] = {
+                "weight": jax.random.normal(k1, (out_c, in_c, k, k),
+                                            jnp.float32) / math.sqrt(in_c * k * k)}
+            params[f"{name}.wscale"] = {
+                "bias": jax.random.normal(k2, (out_c,), jnp.float32)}
+        return params
+
+    # -- application --------------------------------------------------------
+    def __call__(self, params, z) -> jnp.ndarray:
+        """z (B, z_dim) -> NHWC image in [-1, 1]."""
+        return self.pipeline(params, DataBag(latent=jnp.asarray(z)))["output"]
+
+    def apply_bag(self, params, bag: DataBag) -> DataBag:
+        return self.pipeline(params, bag)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (torch .pth state dicts -> params pytree)
+# ---------------------------------------------------------------------------
+
+def sizes_from_state_dict(sd) -> List[int]:
+    """Infer [z_dim, depths...] from a reference-format state dict
+    (reference: utils/proggan.py:222-239)."""
+    sizes = []
+    for i in itertools.count():
+        name = "layer%d.conv.weight" % (i + 1)
+        if name not in sd:
+            break
+        w = sd[name]
+        if i == 0:
+            sizes.append(w.shape[1])
+        if i % 2 == 0:
+            sizes.append(w.shape[0])
+    return sizes
+
+
+def params_from_state_dict(sd) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Convert a reference ProgGAN state dict ('layerN.conv.weight',
+    'layerN.wscale.b', 'output_DxD.*') into our params pytree.  Weights stay
+    OIHW; only the container format changes."""
+    params = {}
+    for key, val in sd.items():
+        val = np.asarray(val, dtype=np.float32)
+        if key.endswith(".conv.weight"):
+            params[key[:-len(".weight")]] = {"weight": jnp.asarray(val)}
+        elif key.endswith(".wscale.b"):
+            params[key[:-len(".b")]] = {"bias": jnp.asarray(val)}
+        else:
+            raise ValueError(f"unrecognized ProgGAN param {key!r}")
+    return params
+
+
+def from_state_dict(sd) -> "tuple[ProgressiveGenerator, dict]":
+    """Build (model, params) from a reference-format state dict."""
+    sizes = sizes_from_state_dict(sd)
+    model = ProgressiveGenerator(sizes=sizes)
+    return model, params_from_state_dict(sd)

@@ -1,0 +1,510 @@
+"""StyleGAN2 generator as a functional stage pipeline (TPU-native).
+
+Rebuilds the reference's sequentialized StyleGAN2 (utils/stylegan2/models.py)
+— weight-compatible with the rosinality pytorch port — as a pure-function
+pipeline over a DataBag pytree:
+
+- The essential rewriting trick is preserved (reference models.py:12-22):
+  the modulated conv is split into modulation -> adain -> dconv -> blur so
+  the *linear* convolution (``dconv``) can be treated as a linear associative
+  memory and rewritten directly.
+- Compute is NHWC (TPU conv layout). Conv weights are stored in the torch
+  order — dconv keeps the 5-d (1, O, I, kh, kw) shape — so the rewriting
+  einsum ``goiyx,di->godyx`` (reference ganrewrite.py:806-813) and checkpoint
+  conversion are layout-identical; XLA folds the relayout into the program.
+- The reference's custom CUDA ops map to XLA-native formulations:
+  upfirdn2d -> lax.conv_general_dilated with lhs_dilation (ops/upfirdn2d.py),
+  fused_bias_act -> a fused VPU epilogue (ops/fused_act.py).
+- Noise: the reference's NoiseInjectionF always regenerates deterministic
+  ``np.random.RandomState(0).randn(batch, h*w)`` noise (models.py:540-546 —
+  the registered noise_i buffers are injected into the bag but never read).
+  We reproduce that contract, but pass the noise arrays in as runtime inputs
+  (bag keys ``noise_{h}x{w}``) instead of burning them into the compiled
+  program as constants.
+
+Stage names mirror the reference module paths exactly (``layer4.sconv.mconv.
+dconv`` etc.) so saved edit requests and surgery code work unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import re
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import DataBag, Stage, StagePipeline
+from ..ops import fused_leaky_relu, make_kernel, upsample2d, blur2d
+from ..ops.precision import get_precision
+
+CHANNELS = lambda cm: {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm,
+                       128: 128 * cm, 256: 64 * cm, 512: 32 * cm,
+                       1024: 16 * cm}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reference noise (RandomState(0), prefix-stable in batch)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _reference_noise(batch: int, h: int, w: int) -> np.ndarray:
+    """np.random.RandomState(0).randn(batch, h*w) reshaped NHWC — the exact
+    fallback noise of reference NoiseInjectionF (models.py:543-545)."""
+    noise = np.random.RandomState(0).randn(batch, h * w).astype(np.float32)
+    return noise.reshape(batch, h, w, 1)
+
+
+def noise_key(h: int, w: int) -> str:
+    return f"noise_{h}x{w}"
+
+
+# ---------------------------------------------------------------------------
+# Stage functions
+# ---------------------------------------------------------------------------
+
+def _bag_in(params, z) -> DataBag:
+    if isinstance(z, DataBag):
+        return z
+    return DataBag(latent=jnp.asarray(z))
+
+
+def _pixel_norm_latent(params, d: DataBag) -> DataBag:
+    x = d["latent"]
+    return DataBag(d, latent=x * lax.rsqrt(
+        jnp.mean(jnp.square(x), axis=1, keepdims=True) + 1e-8))
+
+
+def _equal_linear(params, x, scale, lr_mul, activation):
+    w = params["weight"] * scale
+    out = jnp.dot(x, w.T, precision=get_precision())
+    if activation == "fused_lrelu":
+        return fused_leaky_relu(out, params["bias"] * lr_mul)
+    return out + params["bias"] * lr_mul
+
+
+def _make_style_linear(in_dim, lr_mul):
+    scale = (1.0 / math.sqrt(in_dim)) * lr_mul
+
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, latent=_equal_linear(params, d["latent"], scale,
+                                               lr_mul, "fused_lrelu"))
+    return fn
+
+
+def _make_modulation(style_dim):
+    scale = 1.0 / math.sqrt(style_dim)
+
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, style=_equal_linear(params, d["style"], scale,
+                                              1.0, None))
+    return fn
+
+
+def _make_adjust_latent(n_latent, truncation):
+    def fn(params, d: DataBag) -> DataBag:
+        latent = d["latent"]
+        avg = params["latent_avg"]
+        if truncation != 1.0 and jnp.ndim(avg) > 0:
+            latent = avg + truncation * (latent - avg)
+        latent = jnp.repeat(latent[:, None, :], n_latent, axis=1)
+        return DataBag(d, latent=latent)
+    return fn
+
+
+def _noises_stage(params, d: DataBag) -> DataBag:
+    # Reference FixedNoiseBuffers injects noise_i buffers into the bag
+    # (models.py:331-352); they are carried but never consumed (the
+    # injection stages read shape-keyed noise instead — see module docstring).
+    out = DataBag(d)
+    for k, v in params.items():
+        if k.startswith("noise_") and k not in out:
+            out[k] = v
+    return out
+
+
+def _constant_input(params, d: DataBag) -> DataBag:
+    batch = d["latent"].shape[0]
+    const = params["input"]
+    return DataBag(d, fmap=jnp.broadcast_to(
+        const, (batch,) + const.shape[1:]))
+
+
+def _make_pick_latent(index):
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, style=d["latent"][:, index])
+    return fn
+
+
+def _apply_style(params, d: DataBag) -> DataBag:
+    # adain: per-sample per-input-channel scaling (models.py:616-620); NHWC.
+    return DataBag(d, fmap=d["style"][:, None, None, :] * d["fmap"])
+
+
+def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
+    fan_in = in_c * kernel_size ** 2
+    scale = 1.0 / math.sqrt(fan_in)
+    padding = kernel_size // 2
+
+    def fn(params, d: DataBag) -> DataBag:
+        w5 = params["weight"]            # (1, O, I, kh, kw), torch order
+        x = d["fmap"]
+        if upsample:
+            # torch F.conv_transpose2d(x, w.transpose(1,2)[0], stride=2) ==
+            # dilated conv with the spatially-flipped kernel and k-1 padding.
+            w = jnp.flip(w5[0], (-2, -1)) * scale      # (O, I, kh, kw)
+            out = lax.conv_general_dilated(
+                x, w, window_strides=(1, 1),
+                padding=((kernel_size - 1, kernel_size - 1),) * 2,
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                precision=get_precision())
+        else:
+            out = lax.conv_general_dilated(
+                x, w5[0] * scale, window_strides=(1, 1),
+                padding=((padding, padding), (padding, padding)),
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                precision=get_precision())
+        if demodulate:
+            # demod = rsqrt(sum_{I,kh,kw} (scale*W*style)^2 + 1e-8) per (B,O)
+            # (reference models.py:324-328). Commutes with the conv, applied
+            # post-hoc so the conv itself stays a plain linear map.
+            style = d["style"]                          # (B, I)
+            w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))  # (O, I)
+            demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                      precision=get_precision()) + 1e-8)
+
+            out = out * demod[:, None, None, :]
+        return DataBag(d, fmap=out)
+    return fn
+
+
+def _make_blur(blur_kernel, pad, upsample_factor):
+    kern = np.asarray(make_kernel(blur_kernel))
+
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, fmap=blur2d(d["fmap"], jnp.asarray(kern), pad,
+                                      upsample_factor))
+    return fn
+
+
+def _noise_inject(params, d: DataBag) -> DataBag:
+    x = d["fmap"]
+    b, h, w, _ = x.shape
+    noise = d.get(noise_key(h, w))
+    if noise is None:
+        noise = jnp.asarray(_reference_noise(b, h, w))
+    return DataBag(d, fmap=x + params["weight"] * noise)
+
+
+def _fused_lrelu_stage(params, d: DataBag) -> DataBag:
+    return DataBag(d, fmap=fused_leaky_relu(d["fmap"], params["bias"]))
+
+
+def _make_upsample_output(blur_kernel):
+    kern = np.asarray(make_kernel(blur_kernel))
+
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, output=upsample2d(d["output"], jnp.asarray(kern),
+                                            factor=2))
+    return fn
+
+
+def _make_to_rgb(in_c, style_dim, skip, blur_kernel):
+    mod_scale = 1.0 / math.sqrt(style_dim)
+    conv_scale = 1.0 / math.sqrt(in_c)  # 1x1 kernel, fan_in = in_c
+    kern = np.asarray(make_kernel(blur_kernel))
+
+    def fn(params, d: DataBag) -> DataBag:
+        # Modulated 1x1 conv, no demodulation (models.py:628-655): equal to
+        # scaling input channels by style then a plain 1x1 conv == matmul.
+        style = _equal_linear(params["modulation"], d["style"], mod_scale,
+                              1.0, None)                     # (B, in_c)
+        w = params["weight"][0, :, :, 0, 0] * conv_scale     # (3, in_c)
+        x = d["fmap"] * style[:, None, None, :]
+        out = jnp.dot(x, w.T, precision=get_precision()) + params["bias"]
+        if skip:
+            prev = d["output"]
+            if prev.shape[1:3] != out.shape[1:3]:
+                prev = upsample2d(prev, jnp.asarray(kern), factor=2)
+            out = out + prev
+        return DataBag(d, output=out)
+    return fn
+
+
+def _return_output(params, d: DataBag):
+    return DataBag(d, output=d["output"])
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+class SeqStyleGAN2:
+    """Functional sequential StyleGAN2 (reference: SeqStyleGAN2,
+    utils/stylegan2/models.py:31-141). Stage names mirror the reference."""
+
+    def __init__(self, size, style_dim=512, n_mlp=8, channel_multiplier=2,
+                 blur_kernel=(1, 3, 3, 1), lr_mlp=0.01, truncation=1.0,
+                 mconv="seq"):
+        assert mconv in (None, "seq", "fast"), mconv
+        self.size = size
+        self.style_dim = style_dim
+        self.z_dim = style_dim
+        self.n_mlp = n_mlp
+        self.lr_mlp = lr_mlp
+        self.truncation = truncation
+        self.blur_kernel = list(blur_kernel)
+        self.channels = CHANNELS(channel_multiplier)
+        self.log_size = int(math.log2(size))
+        self.num_layers = (self.log_size - 2) * 2 + 1
+        self.n_latent = self.log_size * 2 - 2
+
+        stages: List[Stage] = [Stage("bag_in", _bag_in)]
+        # specs used by init_params: name -> (kind, shapes...)
+        self._param_specs: Dict[str, tuple] = {}
+
+        # style MLP (models.py:59-65)
+        stages.append(Stage("style.0", _pixel_norm_latent))
+        for i in range(n_mlp):
+            stages.append(Stage(f"style.{i + 1}",
+                                _make_style_linear(style_dim, lr_mlp)))
+            self._param_specs[f"style.{i + 1}"] = ("linear", style_dim,
+                                                   style_dim, lr_mlp, 0.0)
+
+        stages.append(Stage("latents",
+                            _make_adjust_latent(self.n_latent, truncation)))
+        self._param_specs["latents"] = ("latent_avg",)
+        stages.append(Stage("noises", _noises_stage))
+        self._param_specs["noises"] = ("noises", self.num_layers)
+        stages.append(Stage("input", _constant_input))
+        self._param_specs["input"] = ("const", self.channels[4])
+
+        def styled_conv(prefix, in_c, out_c, lat_idx, upsample):
+            """layerN.{conv|sconv}: lat pick + mconv(seq) + noise + activate
+            (models.py:232-289)."""
+            sub = []
+            sub.append(Stage(f"{prefix}.mconv.modulation",
+                             _make_modulation(style_dim)))
+            self._param_specs[f"{prefix}.mconv.modulation"] = (
+                "linear", style_dim, in_c, 1.0, 1.0)
+            sub.append(Stage(f"{prefix}.mconv.adain", _apply_style))
+            sub.append(Stage(f"{prefix}.mconv.dconv",
+                             _make_dconv(in_c, out_c, 3, True, upsample)))
+            self._param_specs[f"{prefix}.mconv.dconv"] = ("dconv", in_c,
+                                                          out_c, 3)
+            if upsample:
+                factor, k = 2, 3
+                p = (len(self.blur_kernel) - factor) - (k - 1)
+                pad0 = (p + 1) // 2 + factor - 1
+                pad1 = p // 2 + 1
+                sub.append(Stage(f"{prefix}.mconv.blur",
+                                 _make_blur(self.blur_kernel, (pad0, pad1),
+                                            factor)))
+            sub.append(Stage(f"{prefix}.noise", _noise_inject))
+            self._param_specs[f"{prefix}.noise"] = ("noise_w",)
+            sub.append(Stage(f"{prefix}.activate", _fused_lrelu_stage))
+            self._param_specs[f"{prefix}.activate"] = ("act_bias", out_c)
+            return sub
+
+        def to_rgb(name, in_c, lat_idx, skip):
+            sub = [Stage(f"{name}.lat{lat_idx}", _make_pick_latent(lat_idx)),
+                   Stage(f"{name}.rgb",
+                         _make_to_rgb(in_c, style_dim, skip,
+                                      self.blur_kernel))]
+            self._param_specs[f"{name}.rgb"] = ("to_rgb", in_c)
+            return sub
+
+        # layer2 + to_rgb1 (models.py:101-110) — note layer2 uses 'conv',
+        # layers >= 3 use 'sconv', matching reference naming exactly.
+        c4 = self.channels[4]
+        stages.append(Stage("layer2.lat0", _make_pick_latent(0)))
+        stages.extend(styled_conv("layer2.conv", c4, c4, 0, upsample=False))
+        stages.extend(to_rgb("to_rgb1", c4, 1, skip=False))
+
+        in_c = c4
+        lat_i = 1
+        for i in range(3, self.log_size + 1):
+            out_c = self.channels[2 ** i]
+            stages.append(Stage(f"up_rgb{i - 2}",
+                                _make_upsample_output(self.blur_kernel)))
+            stages.append(Stage(f"layer{lat_i + 2}.lat{lat_i}",
+                                _make_pick_latent(lat_i)))
+            stages.extend(styled_conv(f"layer{lat_i + 2}.sconv", in_c, out_c,
+                                      lat_i, upsample=True))
+            stages.append(Stage(f"layer{lat_i + 3}.lat{lat_i + 1}",
+                                _make_pick_latent(lat_i + 1)))
+            stages.extend(styled_conv(f"layer{lat_i + 3}.sconv", out_c, out_c,
+                                      lat_i + 1, upsample=False))
+            stages.extend(to_rgb(f"to_rgb{i - 1}", out_c, lat_i + 2,
+                                 skip=True))
+            in_c = out_c
+            lat_i += 2
+
+        stages.append(Stage("output", _return_output))
+        self.pipeline = StagePipeline(stages)
+
+    # -- noise inputs -------------------------------------------------------
+    def prepare_noise(self, batch: int) -> Dict[str, jnp.ndarray]:
+        """Per-resolution deterministic noise inputs for a full forward."""
+        out = {}
+        for i in range(2, self.log_size + 1):
+            r = 2 ** i
+            out[noise_key(r, r)] = jnp.asarray(_reference_noise(batch, r, r))
+        return out
+
+    # -- parameters ---------------------------------------------------------
+    def init_params(self, key) -> Dict[str, dict]:
+        """Random init matching reference distributions (EqualLinear weight
+        ~ N(0, 1/lr_mul), bias = bias_init; dconv/const ~ N(0,1); noise
+        weight 0; activate/to_rgb bias 0; latent_avg scalar 0 — truncation
+        stays off until a real latent_avg is loaded, models.py:570-583)."""
+        params: Dict[str, dict] = {}
+        for name, spec in self._param_specs.items():
+            kind = spec[0]
+            key, k1 = jax.random.split(key)
+            if kind == "linear":
+                _, in_d, out_d, lr_mul, bias_init = spec
+                params[name] = {
+                    "weight": jax.random.normal(k1, (out_d, in_d),
+                                                jnp.float32) / lr_mul,
+                    "bias": jnp.full((out_d,), float(bias_init), jnp.float32)}
+            elif kind == "latent_avg":
+                params[name] = {"latent_avg": jnp.float32(0.0)}
+            elif kind == "noises":
+                bufs = {}
+                rng = np.random.RandomState(1)  # FixedNoiseBuffers seed 1
+                for li in range(spec[1]):
+                    res = (li + 5) // 2
+                    nz = rng.randn(1, 1, 2 ** res, 2 ** res).astype(np.float32)
+                    bufs[f"noise_{li}"] = jnp.asarray(
+                        nz.transpose(0, 2, 3, 1))
+                params[name] = bufs
+            elif kind == "const":
+                params[name] = {"input": jax.random.normal(
+                    k1, (1, 4, 4, spec[1]), jnp.float32)}
+            elif kind == "dconv":
+                _, in_c, out_c, k = spec
+                params[name] = {"weight": jax.random.normal(
+                    k1, (1, out_c, in_c, k, k), jnp.float32)}
+            elif kind == "noise_w":
+                params[name] = {"weight": jnp.zeros((1,), jnp.float32)}
+            elif kind == "act_bias":
+                params[name] = {"bias": jnp.zeros((spec[1],), jnp.float32)}
+            elif kind == "to_rgb":
+                in_c = spec[1]
+                key, k2 = jax.random.split(key)
+                params[name] = {
+                    "modulation": {
+                        "weight": jax.random.normal(k1, (in_c, self.style_dim),
+                                                    jnp.float32),
+                        "bias": jnp.ones((in_c,), jnp.float32)},
+                    "weight": jax.random.normal(k2, (1, 3, in_c, 1, 1),
+                                                jnp.float32),
+                    "bias": jnp.zeros((3,), jnp.float32)}
+            else:  # pragma: no cover
+                raise ValueError(kind)
+        return params
+
+    # -- application --------------------------------------------------------
+    def __call__(self, params, z, noise: Optional[dict] = None):
+        """z (B, style_dim) -> NHWC image. Deterministic reference noise is
+        passed as runtime inputs unless explicitly provided."""
+        bag = DataBag(latent=jnp.asarray(z))
+        bag.update(noise if noise is not None
+                   else self.prepare_noise(bag["latent"].shape[0]))
+        return self.pipeline(params, bag)["output"]
+
+    def apply_bag(self, params, bag: DataBag) -> DataBag:
+        return self.pipeline(params, bag)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def _seq_names_from_rosinality(sd: dict, latent_avg=None) -> dict:
+    """Regex rename of rosinality checkpoint keys to sequential names
+    (reference: models.py:149-202)."""
+    if len(sd) < 10 and "g_ema" in sd:
+        latent_avg = sd.get("latent_avg", latent_avg)
+        sd = sd["g_ema"]
+    new = {}
+    for k, v in sd.items():
+        k = re.sub(r"^conv1\.conv\.", "layer2.conv.mconv.", k)
+        k = re.sub(r"^conv1\.", "layer2.conv.", k)
+        k = re.sub(r"^convs\.(\d+)\.conv",
+                   lambda m: f"layer{int(m.group(1)) + 3}.sconv.mconv", k)
+        k = re.sub(r"^convs\.(\d+)\.",
+                   lambda m: f"layer{int(m.group(1)) + 3}.sconv.", k)
+        k = re.sub(r"^to_rgb1\.(conv\.|bias$)",
+                   lambda m: f"to_rgb1.rgb.{m.group(1)}", k)
+        k = re.sub(r"^to_rgbs\.(\d+)\.upsample\.",
+                   lambda m: f"up_rgb{int(m.group(1)) + 1}.", k)
+        k = re.sub(r"^to_rgbs\.(\d+)\.",
+                   lambda m: f"to_rgb{int(m.group(1)) + 2}.rgb.", k)
+        k = re.sub(r"mconv\.weight$", "mconv.dconv.weight", k)
+        new[k] = v
+    if latent_avg is not None:
+        new["latents.latent_avg"] = latent_avg
+    return new
+
+
+def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
+                           latent_avg=None) -> Dict[str, dict]:
+    """Convert a sequential-format (or rosinality-format) torch state dict
+    into our params pytree. Values may be numpy arrays or torch tensors."""
+    def as_np(v):
+        return np.asarray(getattr(v, "numpy", lambda: v)(), dtype=np.float32)
+
+    sd = {k: v for k, v in sd.items()}
+    if not any(k.startswith(("layer2.", "style.")) for k in sd):
+        sd = _seq_names_from_rosinality(sd, latent_avg)
+    elif latent_avg is not None:
+        sd["latents.latent_avg"] = latent_avg
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    for k, v in sd.items():
+        v = as_np(v)
+        if re.match(r"^style\.\d+\.(weight|bias)$", k):
+            stage, pname = k.rsplit(".", 1)
+            params[stage][pname] = v
+        elif k == "latents.latent_avg":
+            params["latents"]["latent_avg"] = v
+        elif re.match(r"^noises\.noise_\d+$", k):
+            params["noises"][k.split(".")[1]] = v.transpose(0, 2, 3, 1)
+        elif k == "input.input":
+            params["input"]["input"] = v.transpose(0, 2, 3, 1)
+        elif k.endswith(".mconv.modulation.weight"):
+            params[k[:-len(".weight")]]["weight"] = v
+        elif k.endswith(".mconv.modulation.bias"):
+            params[k[:-len(".bias")]]["bias"] = v
+        elif k.endswith(".mconv.dconv.weight"):
+            params[k[:-len(".weight")]]["weight"] = v  # (1,O,I,kh,kw)
+        elif k.endswith(".mconv.weight"):
+            # fast-mconv naming; same tensor as the seq dconv weight
+            # (reference models.py:185-189)
+            params[k[:-len(".weight")] + ".dconv"]["weight"] = v
+        elif k.endswith(".noise.weight"):
+            params[k[:-len(".weight")]]["weight"] = v.reshape(1)
+        elif k.endswith(".activate.bias"):
+            params[k[:-len(".bias")]]["bias"] = v
+        elif re.match(r"^to_rgb\d+\.rgb\.conv\.modulation\.(weight|bias)$", k):
+            stage = k.split(".conv.modulation.")[0]
+            params[stage]["modulation"][k.rsplit(".", 1)[1]] = v
+        elif re.match(r"^to_rgb\d+\.rgb\.conv\.weight$", k):
+            params[k[:-len(".conv.weight")]]["weight"] = v  # (1,3,C,1,1)
+        elif re.match(r"^to_rgb\d+\.rgb\.bias$", k):
+            params[k[:-len(".bias")]]["bias"] = v.reshape(3)
+        elif re.match(r"^up_rgb\d+\.kernel$", k):
+            pass  # fixed FIR kernel buffer, recomputed from blur_kernel
+        elif k.endswith(".mconv.blur.kernel"):
+            pass
+        else:
+            raise ValueError(f"unrecognized StyleGAN2 param {k!r}")
+    return jax.tree_util.tree_map(jnp.asarray, params)

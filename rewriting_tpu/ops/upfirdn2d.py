@@ -1,0 +1,97 @@
+"""upfirdn2d — upsample, pad, FIR filter, downsample, in one fused op.
+
+The reference ships a templated CUDA kernel for this
+(utils/stylegan2/op/upfirdn2d_kernel.cu) with a hand-written double-backward
+(utils/stylegan2/op/upfirdn2d.py:18-84).  The exact semantics are specified by
+its pure-torch fallback ``upfirdn2d_native`` (op/upfirdn2d.py:152-186):
+
+    1. insert (up-1) zeros after every input sample (incl. trailing zeros),
+    2. pad by (pad0, pad1) on each spatial edge (negative pad crops),
+    3. correlate with the spatially-flipped FIR kernel,
+    4. keep every down-th sample.
+
+On TPU this maps *exactly* onto ``lax.conv_general_dilated`` with
+``lhs_dilation=up`` and explicit padding — one XLA op that the compiler
+pipelines with neighbouring ops, and that is differentiable (the blur sits in
+the backward path of the edit solve, so differentiability is required).  The
+only subtlety: lhs_dilation produces (n-1)*up+1 samples (no trailing zeros),
+so the trailing (up-1) zeros move into the right/bottom padding.
+
+Layout: NHWC. The FIR kernel is shared across channels (depthwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .precision import get_precision
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Build a normalized 2-d FIR kernel from a 1-d or 2-d tap list
+    (reference: utils/stylegan2/models.py:449-454)."""
+    k = np.asarray(k, dtype=np.float32)
+    if k.ndim == 1:
+        k = np.outer(k, k)
+    k = k / k.sum()
+    return jnp.asarray(k)
+
+
+def upfirdn2d(x, kernel, up: int = 1, down: int = 1,
+              pad: Tuple[int, int] = (0, 0)):
+    """Apply upfirdn to an NHWC tensor with a (kh, kw) FIR kernel.
+
+    Matches torch ``op.upfirdn2d(input_nchw, kernel, up, down, pad)``
+    (reference: utils/stylegan2/op/upfirdn2d.py:144-149) with symmetric
+    x/y factors and pad = (pad0, pad1) applied to both axes.
+    """
+    return upfirdn2d_general(x, kernel, up_x=up, up_y=up, down_x=down,
+                             down_y=down, pad_x=(pad[0], pad[1]),
+                             pad_y=(pad[0], pad[1]))
+
+
+def upfirdn2d_general(x, kernel, up_x=1, up_y=1, down_x=1, down_y=1,
+                      pad_x=(0, 0), pad_y=(0, 0)):
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    # True convolution = correlation with the flipped kernel
+    # (reference spec flips: op/upfirdn2d.py:177).
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    # Depthwise: one shared filter per channel.
+    k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
+    pad_y = (pad_y[0], pad_y[1] + up_y - 1)  # fold trailing zeros into pad
+    pad_x = (pad_x[0], pad_x[1] + up_x - 1)
+    return lax.conv_general_dilated(
+        x, k,
+        window_strides=(down_y, down_x),
+        padding=(pad_y, pad_x),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=get_precision(),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def upsample2d(x, kernel, factor: int = 2):
+    """FIR upsample (reference Upsample, utils/stylegan2/models.py:435-447):
+    gain factor**2, pad ((p+1)//2 + factor - 1, p//2) with p = kh - factor."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel * (factor ** 2), up=factor, down=1,
+                     pad=(pad0, pad1))
+
+
+def blur2d(x, kernel, pad: Tuple[int, int], upsample_factor: int = 1):
+    """FIR blur (reference Blur, utils/stylegan2/models.py:468-479)."""
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor ** 2)
+    return upfirdn2d(x, kernel, up=1, down=1, pad=pad)

@@ -1,0 +1,32 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on CPU via
+``--xla_force_host_platform_device_count=8`` (no TPU pod needed); the env
+vars must be set before jax initializes its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    def load(name):
+        path = GOLDEN_DIR / f"{name}.npz"
+        if not path.exists():
+            pytest.skip(f"golden fixture {name}.npz not generated "
+                        f"(run scripts/make_goldens.py)")
+        return np.load(path, allow_pickle=False)
+    return load

@@ -1,0 +1,53 @@
+"""Op parity: upfirdn2d / fused_leaky_relu vs the reference CUDA-op spec."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rewriting_tpu.ops import fused_leaky_relu, upfirdn2d
+
+
+def nchw_to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def test_upfirdn2d_matches_reference_spec(goldens):
+    g = goldens("upfirdn2d")
+    x = nchw_to_nhwc(g["x"])
+    for name in ["up2_k4", "down2_k4", "blur_k4", "updown_k3", "negpad"]:
+        up, down, p0, p1 = (int(v) for v in g[f"cfg_{name}"])
+        k = g["k3"] if "k3" in name else g["k4"]
+        out = upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=up, down=down,
+                        pad=(p0, p1))
+        want = nchw_to_nhwc(g[f"out_{name}"])
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5,
+                                   rtol=1e-5, err_msg=name)
+
+
+def test_upfirdn2d_differentiable():
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 6, 6, 2),
+                    dtype=jnp.float32)
+    k = jnp.asarray(np.outer([1, 3, 3, 1], [1, 3, 3, 1]) / 64.0,
+                    dtype=jnp.float32)
+
+    def f(x):
+        return jnp.sum(upfirdn2d(x, k, up=2, down=1, pad=(2, 1)) ** 2)
+
+    grad = jax.grad(f)(x)
+    assert grad.shape == x.shape
+    # numerical check on one coordinate
+    eps = 1e-3
+    dx = np.zeros(x.shape, np.float32)
+    dx[0, 2, 3, 1] = eps
+    num = (f(x + dx) - f(x - dx)) / (2 * eps)
+    np.testing.assert_allclose(grad[0, 2, 3, 1], num, rtol=1e-2)
+
+
+def test_fused_leaky_relu():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    b = rng.randn(3).astype(np.float32)
+    out = np.asarray(fused_leaky_relu(jnp.asarray(x), jnp.asarray(b)))
+    pre = x + b
+    want = np.sqrt(2.0) * np.where(pre >= 0, pre, 0.2 * pre)
+    np.testing.assert_allclose(out, want, atol=1e-6)

@@ -1,0 +1,70 @@
+"""ProgGAN parity vs reference golden activations + surgery semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rewriting_tpu.core import DataBag
+from rewriting_tpu.models.proggan import (ProgressiveGenerator,
+                                          from_state_dict,
+                                          sizes_from_state_dict)
+from rewriting_tpu.utils.zdataset import standard_z_sample
+
+
+def nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def _golden_model(goldens):
+    g = goldens("proggan_tiny")
+    sd = {k[len("sd."):]: g[k] for k in g.files if k.startswith("sd.")}
+    model, params = from_state_dict(sd)
+    return g, model, params
+
+
+def test_sizes_from_state_dict(goldens):
+    g, model, _ = _golden_model(goldens)
+    assert model.sizes == [16, 16, 8, 4]
+    assert model.resolution == 16
+    assert model.z_dim == 16
+
+
+def test_forward_parity(goldens):
+    g, model, params = _golden_model(goldens)
+    out = jax.jit(model.__call__)(params, jnp.asarray(g["z"]))
+    np.testing.assert_allclose(nchw(out), g["out"], atol=2e-5, rtol=1e-4)
+
+
+def test_intermediate_parity_and_surgery(goldens):
+    g, model, params = _golden_model(goldens)
+    # context = everything before layer3.conv; target = just the conv
+    context = model.pipeline.subsequence(upto_layer="layer3.conv")
+    target = model.pipeline.subsequence(first_layer="layer3.conv",
+                                        last_layer="layer3.conv")
+    rendering = model.pipeline.subsequence(after_layer="layer3.conv")
+    k = context(params, DataBag(latent=jnp.asarray(g["z"])))
+    # layer3 is an upscale block: context(upto=conv) ends after the 2x
+    # nearest upsample, i.e. nearest-up of the captured norm output.
+    want_k = g["layer3_norm_out"].repeat(2, axis=2).repeat(2, axis=3)
+    np.testing.assert_allclose(nchw(k["fmap"]), want_k, atol=2e-5, rtol=1e-4)
+    v = target(params, k)
+    np.testing.assert_allclose(nchw(v["fmap"]), g["layer3_conv_out"],
+                               atol=2e-5, rtol=1e-4)
+    x = rendering(params, v)
+    np.testing.assert_allclose(nchw(x["output"]), g["out"], atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_random_init_runs():
+    model = ProgressiveGenerator(sizes=[8, 8, 4])
+    params = model.init_params(jax.random.PRNGKey(0))
+    z = standard_z_sample(2, model.z_dim)
+    out = model(params, jnp.asarray(z))
+    assert out.shape == (2, 8, 8, 3)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0)
+
+
+def test_z_prefix_stability():
+    a = standard_z_sample(10, 16, seed=1)
+    b = standard_z_sample(100, 16, seed=1)
+    np.testing.assert_array_equal(a, b[:10])
