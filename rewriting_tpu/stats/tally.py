@@ -1,0 +1,263 @@
+"""Tally drivers: run a compute closure over a z dataset and feed a reducer.
+
+Mirrors the behavior of the reference's utils/tally.py — each ``tally_*``
+drives ``compute(zbatch)`` over dataset batches into a Running* accumulator,
+with npz cache-file memoization keyed on arguments (reference
+tally.py:703-730: a cache-key mismatch recomputes and resaves).
+
+Two execution styles:
+
+- the generic host loop (any reducer, any compute), used like the reference's
+  DataLoader loop;
+- :func:`tally_second_moment_scan` — the rewriter's hot statistic compiled as
+  ONE XLA program: ``lax.scan`` over device-resident z batches with the
+  reducer update fused into the generator forward (reference equivalent:
+  the 1000-z loop at tally.py:438-440 feeding RunningSecondMoment).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import running
+from .quantile import RunningQuantile
+
+
+# ---------------------------------------------------------------------------
+# npz cache (arg-keyed memoization, reference tally.py:703-730)
+# ---------------------------------------------------------------------------
+
+def load_cached_state(cachefile: Optional[str], args: dict):
+    if cachefile is None or not os.path.exists(cachefile):
+        return None
+    dat = dict(np.load(cachefile, allow_pickle=False))
+    for a, v in args.items():
+        if a not in dat or str(dat[a]) != str(v):
+            print(f"{cachefile} differs at {a}: {dat.get(a)} vs {v}; "
+                  "recomputing")
+            return None
+    return dat
+
+
+def save_cached_state(cachefile: Optional[str], obj, args: dict):
+    if cachefile is None:
+        return
+    d = obj.state_dict()
+    for a, v in args.items():
+        if a in d:
+            assert str(d[a]) == str(v), f"cache arg {a} collides"
+        d[a] = np.array(v)
+    os.makedirs(os.path.dirname(cachefile) or ".", exist_ok=True)
+    np.savez(cachefile, **d)
+
+
+def _run(compute: Callable, zds, reducer, batch_size: int,
+         cachefile: Optional[str], args: dict, restore):
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        restore(cached)
+        return reducer
+    for zbatch, valid in zds.batches(batch_size):
+        out = compute(jnp.asarray(zbatch[:valid]))
+        if isinstance(out, tuple):
+            reducer.add(*out)
+        else:
+            reducer.add(out)
+    save_cached_state(cachefile, reducer, args)
+    return reducer
+
+
+def _tally(reducer, compute, zds, batch_size=10, cachefile=None,
+           extra_args=None):
+    args = {"sample_size": len(zds), "batch_size": batch_size}
+    args.update(extra_args or {})
+    return _run(compute, zds, reducer, batch_size, cachefile, args,
+                reducer.set_state_dict)
+
+
+# ---------------------------------------------------------------------------
+# Generic tallies
+# ---------------------------------------------------------------------------
+
+def tally_mean(compute, zds, batch_size=10, cachefile=None):
+    return _tally(running.RunningMean(), compute, zds, batch_size, cachefile)
+
+
+def tally_variance(compute, zds, batch_size=10, cachefile=None):
+    return _tally(running.RunningVariance(), compute, zds, batch_size,
+                  cachefile)
+
+
+def tally_covariance(compute, zds, batch_size=10, cachefile=None):
+    return _tally(running.RunningCovariance(), compute, zds, batch_size,
+                  cachefile)
+
+
+def tally_cross_covariance(compute, zds, batch_size=10, cachefile=None):
+    return _tally(running.RunningCrossCovariance(), compute, zds,
+                  batch_size, cachefile)
+
+
+def tally_second_moment(compute, zds, batch_size=10, cachefile=None):
+    """Uncentered second moment — the rewriter's key covariance statistic
+    (reference tally.py:424-443)."""
+    return _tally(running.RunningSecondMoment(), compute, zds, batch_size,
+                  cachefile)
+
+
+def tally_bincount(compute, zds, batch_size=10, size=1024, cachefile=None):
+    return _tally(running.RunningBincount(size=size), compute, zds,
+                  batch_size, cachefile, {"size": size})
+
+
+def tally_topk(compute, zds, k=100, batch_size=10, cachefile=None):
+    return _tally(running.RunningTopK(k=k), compute, zds, batch_size,
+                  cachefile, {"k": k})
+
+
+def tally_quantile(compute, zds, resolution=6 * 1024, batch_size=10,
+                   cachefile=None):
+    return _tally(RunningQuantile(resolution=resolution), compute, zds,
+                  batch_size, cachefile, {"resolution": resolution})
+
+
+def tally_topk_and_quantile(compute, zds, k=100, resolution=6 * 1024,
+                            batch_size=10, cachefile=None):
+    """One pass feeding both a TopK (per-image max scores) and a quantile
+    sketch (flattened scores); compute returns (maxval_rows, flat_rows)
+    (reference tally.py:157-180)."""
+    topk = running.RunningTopK(k=k)
+    rq = RunningQuantile(resolution=resolution)
+    for zbatch, valid in zds.batches(batch_size):
+        maxval, flat = compute(jnp.asarray(zbatch[:valid]))
+        topk.add(maxval)
+        rq.add(flat)
+    return topk, rq
+
+
+def tally_cat(compute, zds, batch_size=10, cachefile=None):
+    """Concatenate compute outputs over the dataset (reference
+    tally.py:327-346)."""
+    args = {"sample_size": len(zds), "batch_size": batch_size}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        return jnp.asarray(cached["cat"])
+    outs = [np.asarray(compute(jnp.asarray(z[:v])))
+            for z, v in zds.batches(batch_size)]
+    result = np.concatenate(outs, axis=0)
+    if cachefile is not None:
+
+        class _Obj:
+            def state_dict(self):
+                return {"cat": result}
+        save_cached_state(cachefile, _Obj(), args)
+    return jnp.asarray(result)
+
+
+def tally_conditional_mean(compute, zds, batch_size=10, cachefile=None):
+    """compute yields [(condition, rows), ...] per batch (reference
+    tally.py:274-297)."""
+    cm = running.RunningConditionalMean()
+    args = {"sample_size": len(zds), "batch_size": batch_size}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        cm.set_state_dict(cached)
+        return cm
+    for zbatch, valid in zds.batches(batch_size):
+        for cond, rows in compute(jnp.asarray(zbatch[:valid])):
+            cm.add(cond, rows)
+    save_cached_state(cachefile, cm, args)
+    return cm
+
+
+def tally_conditional_quantile(compute, zds, resolution=6 * 1024,
+                               batch_size=10, cachefile=None):
+    """Per-condition quantile sketches (reference tally.py:183-215)."""
+    cq = running.RunningConditionalQuantile(resolution=resolution)
+    args = {"sample_size": len(zds), "batch_size": batch_size,
+            "resolution": resolution}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        cq.set_state_dict(cached)
+        return cq
+    for zbatch, valid in zds.batches(batch_size):
+        for cond, rows in compute(jnp.asarray(zbatch[:valid])):
+            cq.add(cond, rows)
+    save_cached_state(cachefile, cq, args)
+    return cq
+
+
+def tally_all_intersection_and_union(compute, zds, batch_size=10,
+                                     cachefile=None):
+    return _tally(running.RunningAllIntersectionAndUnion(), compute, zds,
+                  batch_size, cachefile)
+
+
+def conditional_samples(acts, segs):
+    """Pair activations with segmentation labels: yields (label, rows of
+    acts at positions with that label), plus (0, all rows) — the all-pixels
+    condition (reference tally.py:218-249).
+
+    acts (B, H, W, C) NHWC; segs (B, M, H', W') multi-label int maps.
+    """
+    acts = np.asarray(acts)
+    segs = np.asarray(segs)
+    b, h, w, c = acts.shape
+    if segs.shape[-2:] != (h, w):
+        ratio = segs.shape[-2] // h
+        segs = segs[:, :, ::ratio, ::ratio] if ratio >= 1 else segs
+    flat_acts = acts.reshape(-1, c)
+    flat_segs = segs.transpose(0, 2, 3, 1).reshape(-1, segs.shape[1])
+    out = [(0, flat_acts)]
+    labels = np.unique(flat_segs)
+    for label in labels:
+        if label == 0:
+            continue
+        mask = (flat_segs == label).any(axis=1)
+        if mask.any():
+            out.append((int(label), flat_acts[mask]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted scan reduction (one XLA program, device-resident data)
+# ---------------------------------------------------------------------------
+
+def tally_second_moment_scan(rows_fn, zs, batch_size: int,
+                             dim: Optional[int] = None):
+    """Compute the uncentered second moment of ``rows_fn(zbatch)`` over all
+    z in one compiled scan.  ``zs`` (N, zdim) must be divisible into
+    (N//batch_size, batch_size, zdim); rows_fn returns (rows, dim).
+
+    This is the TPU-native version of the reference's hot 1000-z loop
+    (SURVEY.md stack 3.1): generator forward + xᵀx reduction fused into a
+    single XLA program with no host round-trips.
+    """
+    zs = jnp.asarray(zs)
+    n = zs.shape[0] - zs.shape[0] % batch_size
+    zb = zs[:n].reshape(-1, batch_size, zs.shape[1])
+
+    if dim is None:
+        dim = rows_fn(zb[0]).shape[-1]
+
+    @jax.jit
+    def run(zb):
+        init = running.second_moment_init(dim)
+
+        def step(state, z):
+            return running.second_moment_update(state, rows_fn(z)), None
+        state, _ = jax.lax.scan(step, init, zb)
+        return state
+
+    state = run(zb)
+    rem = zs[n:]
+    if rem.shape[0]:
+        state = running.second_moment_update(state, rows_fn(rem))
+    r = running.RunningSecondMoment()
+    r.state = state
+    return r

@@ -18,6 +18,14 @@ import pathlib
 import numpy as np
 import pytest
 
+# Persistent compilation cache: XLA-CPU conv compiles take minutes; cache
+# them across test runs.
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 
 

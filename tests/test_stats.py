@@ -1,0 +1,265 @@
+"""Streaming statistics: accuracy vs exact batch computations, adversarial
+quantile streams (modeled on the reference self-test,
+runningstats.py:1205-1283), merge (multi-shard) correctness, cache
+round-trips, and scan-vs-loop equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rewriting_tpu.stats import (RunningMean, RunningSecondMoment,
+                                 RunningVariance, RunningCovariance,
+                                 RunningCrossCovariance, RunningBincount,
+                                 RunningTopK, RunningQuantile,
+                                 RunningAllIntersectionAndUnion, tally)
+from rewriting_tpu.stats import running
+from rewriting_tpu.utils.zdataset import ZDataset
+
+
+def batches(data, bs):
+    for i in range(0, len(data), bs):
+        yield data[i:i + bs]
+
+
+@pytest.fixture
+def data():
+    rng = np.random.RandomState(0)
+    return (rng.randn(500, 16) * rng.gamma(2, 2, 16)[None]
+            + rng.randn(16)[None]).astype(np.float32)
+
+
+def test_mean(data):
+    r = RunningMean()
+    for b in batches(data, 64):
+        r.add(b)
+    np.testing.assert_allclose(np.asarray(r.mean()), data.mean(0), atol=1e-4)
+    assert r.count == 500
+
+
+def test_second_moment(data):
+    r = RunningSecondMoment()
+    for b in batches(data, 64):
+        r.add(b)
+    want = data.T @ data / len(data)
+    np.testing.assert_allclose(np.asarray(r.moment()), want, atol=1e-3,
+                               rtol=1e-4)
+
+
+def test_variance(data):
+    r = RunningVariance()
+    for b in batches(data, 64):
+        r.add(b)
+    np.testing.assert_allclose(np.asarray(r.variance()), data.var(0, ddof=1),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.mean()), data.mean(0), atol=1e-4)
+
+
+def test_covariance(data):
+    r = RunningCovariance()
+    for b in batches(data, 64):
+        r.add(b)
+    want = np.cov(data.T)
+    np.testing.assert_allclose(np.asarray(r.covariance()), want, rtol=1e-2,
+                               atol=1e-4)
+
+
+def test_cross_covariance(data):
+    a, b = data[:, :10], data[:, 10:]
+    r = RunningCrossCovariance()
+    for i in range(0, 500, 64):
+        r.add(a[i:i + 64], b[i:i + 64])
+    want = np.cov(a.T, b.T)[:10, 10:]
+    np.testing.assert_allclose(np.asarray(r.cross_covariance()), want,
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_merge_equals_single_stream(data):
+    """Shard-and-merge (the multi-device pattern) must equal one stream."""
+    single = RunningCovariance()
+    single.add(data)
+    sh1 = running.covariance_update(
+        running.covariance_init(16), jnp.asarray(data[:200]))
+    sh2 = running.covariance_update(
+        running.covariance_init(16), jnp.asarray(data[200:]))
+    merged = running.covariance_merge(sh1, sh2)
+    np.testing.assert_allclose(np.asarray(merged["cmom2"]),
+                               np.asarray(single.state["cmom2"]),
+                               rtol=1e-3, atol=1e-2)
+    m1 = running.second_moment_update(
+        running.second_moment_init(16), jnp.asarray(data[:128]))
+    m2 = running.second_moment_update(
+        running.second_moment_init(16), jnp.asarray(data[128:]))
+    both = running.second_moment_merge(m1, m2)
+    want = data.T @ data / len(data)
+    np.testing.assert_allclose(np.asarray(both["mom"]), want, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_topk():
+    rng = np.random.RandomState(1)
+    data = rng.randn(1000, 8).astype(np.float32)
+    r = RunningTopK(k=10)
+    for b in batches(data, 128):
+        r.add(b)
+    vals, idx = (np.asarray(v) for v in r.result())
+    for u in range(8):
+        order = np.argsort(-data[:, u])[:10]
+        np.testing.assert_allclose(vals[u], data[order, u], rtol=1e-6)
+        assert set(idx[u].tolist()) == set(order.tolist())
+
+
+def test_bincount():
+    rng = np.random.RandomState(2)
+    data = rng.randint(0, 50, size=(300, 7))
+    r = RunningBincount(size=64)
+    for b in batches(data, 100):
+        r.add(b)
+    want = np.bincount(data.reshape(-1), minlength=64)
+    np.testing.assert_array_equal(np.asarray(r.result()), want)
+
+
+def test_iou():
+    rng = np.random.RandomState(3)
+    a = rng.rand(400, 5) > 0.5
+    b = rng.rand(400, 6) > 0.7
+    r = RunningAllIntersectionAndUnion()
+    for i in range(0, 400, 128):
+        r.add(a[i:i + 128], b[i:i + 128])
+    inter = (a.astype(np.float64).T @ b.astype(np.float64))
+    union = a.sum(0)[:, None] + b.sum(0)[None, :] - inter
+    np.testing.assert_allclose(np.asarray(r.iou()), inter / union, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: adversarial accuracy (reference-style self-test)
+# ---------------------------------------------------------------------------
+
+def test_quantile_adversarial():
+    """Interleaved adversarial stream: values arrive in an order designed to
+    stress compaction. Asserts exact extremes, bounded rank error, and
+    state-dict round-trip (mirroring runningstats.py:1205-1283 criteria)."""
+    n = 50000
+    # adversarial: interleave low/high halves, strided order
+    base = np.arange(n, dtype=np.float32)
+    order = np.argsort((np.arange(n) * 37) % n, kind="stable")
+    stream = base[order]
+    units = 3
+    scales = np.array([1.0, 0.01, 100.0], np.float32)
+    data = stream[:, None] * scales[None, :]
+
+    rq = RunningQuantile(resolution=4096)
+    for b in batches(data, 1999):  # ragged batches on purpose
+        rq.add(b)
+
+    assert rq.count == n
+    np.testing.assert_allclose(np.asarray(rq.min()), 0.0)
+    np.testing.assert_allclose(np.asarray(rq.max()), (n - 1) * scales)
+
+    qs = np.linspace(0, 1, 101)
+    est = np.asarray(rq.quantiles(qs))
+    want = qs[None, :] * (n - 1) * scales[:, None]
+    # rank error: |est - true| as a fraction of the full range
+    rank_err = np.abs(est - want) / ((n - 1) * scales[:, None])
+    assert rank_err.max() < 0.015, rank_err.max()
+
+    # normalize is the inverse map
+    probe = np.array([0.25, 0.5, 0.75], np.float32)[None, :] * (
+        (n - 1) * scales[:, None])
+    ranks = np.asarray(rq.normalize(probe))
+    np.testing.assert_allclose(ranks, [[0.25, 0.5, 0.75]] * 3, atol=0.02)
+
+    # round-trip
+    rq2 = RunningQuantile(state=rq.state_dict())
+    np.testing.assert_allclose(np.asarray(rq2.quantiles(qs)), est)
+    assert rq2.count == n
+
+    # integral: sum of all values
+    integral = np.asarray(rq.integrate(lambda v: v))
+    want_int = stream.sum() * scales
+    np.testing.assert_allclose(integral, want_int, rtol=0.02)
+
+
+def test_quantile_small_exact():
+    """With fewer samples than capacity, quantiles are near-exact."""
+    rng = np.random.RandomState(0)
+    data = rng.randn(500, 4).astype(np.float32)
+    rq = RunningQuantile(resolution=4096)
+    rq.add(data)
+    est = np.asarray(rq.quantiles([0.0, 0.5, 1.0]))
+    np.testing.assert_allclose(est[:, 0], data.min(0), rtol=1e-5)
+    np.testing.assert_allclose(est[:, 2], data.max(0), rtol=1e-5)
+    np.testing.assert_allclose(est[:, 1], np.median(data, axis=0), atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# tally drivers
+# ---------------------------------------------------------------------------
+
+def test_tally_cache_roundtrip(tmp_path, data):
+    zds = ZDataset(data)
+    calls = []
+
+    def compute(z):
+        calls.append(1)
+        return z * 2.0
+
+    cf = str(tmp_path / "m.npz")
+    r1 = tally.tally_second_moment(compute, zds, batch_size=100, cachefile=cf)
+    n_calls = len(calls)
+    assert n_calls > 0
+    r2 = tally.tally_second_moment(compute, zds, batch_size=100, cachefile=cf)
+    assert len(calls) == n_calls  # cache hit: no recompute
+    np.testing.assert_allclose(np.asarray(r1.moment()),
+                               np.asarray(r2.moment()))
+    # changed args -> recompute
+    tally.tally_second_moment(compute, zds, batch_size=50, cachefile=cf)
+    assert len(calls) > n_calls
+
+
+def test_scan_matches_loop(data):
+    zds = ZDataset(data)
+
+    def rows(z):
+        return z * 3.0 + 1.0
+
+    loop = tally.tally_second_moment(rows, zds, batch_size=100)
+    scan = tally.tally_second_moment_scan(rows, data, batch_size=100)
+    np.testing.assert_allclose(np.asarray(scan.moment()),
+                               np.asarray(loop.moment()), rtol=1e-5,
+                               atol=1e-4)
+    # non-divisible batch size exercises the remainder path
+    scan2 = tally.tally_second_moment_scan(rows, data, batch_size=77)
+    np.testing.assert_allclose(np.asarray(scan2.moment()),
+                               np.asarray(loop.moment()), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_tally_topk_and_quantile(data):
+    zds = ZDataset(data)
+
+    def compute(z):
+        scores = z @ np.ones((16, 4), np.float32)
+        return scores, scores
+
+    topk, rq = tally.tally_topk_and_quantile(compute, zds, k=5,
+                                             batch_size=64)
+    scores = data @ np.ones((16, 4), np.float32)
+    vals, idx = (np.asarray(v) for v in topk.result())
+    for u in range(4):
+        order = np.argsort(-scores[:, u])[:5]
+        # accumulation-order differences between jax and numpy matmuls
+        np.testing.assert_allclose(vals[u], scores[order, u], rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(rq.max()), scores.max(0),
+                               rtol=5e-3)
+
+
+def test_conditional_samples():
+    acts = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+    segs = np.zeros((2, 1, 4, 4), np.int64)
+    segs[0, 0, :2] = 7
+    segs[1, 0, 1:3] = 9
+    pairs = dict(tally.conditional_samples(acts, segs))
+    assert set(pairs) == {0, 7, 9}
+    assert pairs[0].shape == (32, 3)
+    assert pairs[7].shape == (8, 3)
+    assert pairs[9].shape == (8, 3)
