@@ -173,15 +173,19 @@ class ProgressiveGenerator:
             key, k1, k2 = jax.random.split(key, 3)
             params[f"{name}.conv"] = {
                 "weight": jax.random.normal(k1, (out_c, in_c, k, k),
-                                            jnp.float32) / math.sqrt(in_c * k * k)}
+                                            jnp.float32)}
             params[f"{name}.wscale"] = {
                 "bias": jax.random.normal(k2, (out_c,), jnp.float32)}
         return params
 
     # -- application --------------------------------------------------------
+    def make_bag(self, z) -> DataBag:
+        """Input bag for a (B, z_dim) latent batch."""
+        return DataBag(latent=jnp.asarray(z))
+
     def __call__(self, params, z) -> jnp.ndarray:
         """z (B, z_dim) -> NHWC image in [-1, 1]."""
-        return self.pipeline(params, DataBag(latent=jnp.asarray(z)))["output"]
+        return self.pipeline(params, self.make_bag(z))["output"]
 
     def apply_bag(self, params, bag: DataBag) -> DataBag:
         return self.pipeline(params, bag)

@@ -411,13 +411,17 @@ class SeqStyleGAN2:
         return params
 
     # -- application --------------------------------------------------------
-    def __call__(self, params, z, noise: Optional[dict] = None):
-        """z (B, style_dim) -> NHWC image. Deterministic reference noise is
-        passed as runtime inputs unless explicitly provided."""
+    def make_bag(self, z, noise: Optional[dict] = None) -> DataBag:
+        """Input bag: latent + deterministic per-resolution noise inputs."""
         bag = DataBag(latent=jnp.asarray(z))
         bag.update(noise if noise is not None
                    else self.prepare_noise(bag["latent"].shape[0]))
-        return self.pipeline(params, bag)["output"]
+        return bag
+
+    def __call__(self, params, z, noise: Optional[dict] = None):
+        """z (B, style_dim) -> NHWC image. Deterministic reference noise is
+        passed as runtime inputs unless explicitly provided."""
+        return self.pipeline(params, self.make_bag(z, noise))["output"]
 
     def apply_bag(self, params, bag: DataBag) -> DataBag:
         return self.pipeline(params, bag)

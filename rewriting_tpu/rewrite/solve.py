@@ -1,0 +1,194 @@
+"""The rank-constrained linear-associative-memory weight solve.
+
+The reference runs a Python-level Adam loop mutating the conv weight in
+place, re-projecting onto ``ortho_weight + P_context(weight)`` every
+``piter`` steps (reference: rewrite/ganrewrite.py:254-298), with
+``projected_conv`` einsums (:806-813) and a float64 symeig ZCA (:821-826).
+
+Here the whole optimization is ONE jitted ``lax.scan``: forward + backward
+of the small target window, the Adam update (optax), and the periodic
+low-rank projection all compile into a single XLA program resident in HBM —
+the reference's hot loop (2001 Python iterations with kernel launches)
+becomes a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+
+def projected_conv(weight, direction):
+    """Project conv weight onto the span of context directions along the
+    input-channel axis. Weight is torch-ordered: (O,I,kh,kw) for ProgGAN or
+    (G,O,I,kh,kw) for StyleGAN; direction is (rank, I) with orthonormal rows
+    (reference ganrewrite.py:806-813)."""
+    if weight.ndim == 5:
+        cosine = jnp.einsum("goiyx,di->godyx", weight, direction)
+        return jnp.einsum("godyx,di->goiyx", cosine, direction)
+    cosine = jnp.einsum("oiyx,di->odyx", weight, direction)
+    return jnp.einsum("odyx,di->oiyx", cosine, direction)
+
+
+def rank_one_conv(weight, direction):
+    """(reference ganrewrite.py:816-818)"""
+    cosine = jnp.sum(weight * direction[None, :, None, None], axis=1,
+                     keepdims=True)
+    return cosine * direction[None, :, None, None]
+
+
+def zca_from_cov(cov) -> jnp.ndarray:
+    """C^{-1/2} via float64 eigendecomposition on host (TPUs have no native
+    f64; this runs once at rewriter setup). Mirrors reference numerics:
+    eigvals' sqrt clamped at 1e-20 before reciprocal (ganrewrite.py:821-826).
+    """
+    c = np.asarray(cov, np.float64)
+    evals, evecs = np.linalg.eigh(c)
+    inv_sqrt = 1.0 / np.maximum(np.sqrt(np.maximum(evals, 0.0)), 1e-20)
+    zca = (evecs * inv_sqrt[None, :]) @ evecs.T
+    return jnp.asarray(zca.astype(np.asarray(cov).dtype))
+
+
+def solve_spd(c_matrix, k):
+    """x = C^{-1} k for SPD C — the covariance-adjusted key
+    (reference uses torch.lstsq-as-solve, ganrewrite.py:101-105).
+    k: (C,) or (N, C) rows. Runs in float64 on host for stability."""
+    c = np.asarray(c_matrix, np.float64)
+    kk = np.asarray(k, np.float64)
+    single = kk.ndim == 1
+    x = np.linalg.solve(c, kk[:, None] if single else kk.T)
+    out = x[:, 0] if single else x.T
+    return jnp.asarray(out.astype(np.asarray(k).dtype))
+
+
+# ---------------------------------------------------------------------------
+# insert — the jitted rank-constrained solve
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_fn", "niter", "piter", "low_rank_insert",
+                     "low_rank_gradient"))
+def _insert_scan(window_fn, weight0, goal_in, goal_out, direction,
+                 niter: int, piter: int, lr: float,
+                 low_rank_insert: bool, low_rank_gradient: bool):
+    ortho = weight0 - projected_conv(weight0, direction)
+    opt = optax.adam(lr)  # same update rule/defaults as torch.optim.Adam
+
+    def loss_fn(w):
+        return jnp.mean(jnp.abs(goal_out - window_fn(w, goal_in)))
+
+    def step(carry, it):
+        w, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(w)
+        if low_rank_gradient:
+            grad = projected_conv(grad, direction)
+        updates, opt_state = opt.update(grad, opt_state, w)
+        w = optax.apply_updates(w, updates)
+        if low_rank_insert:
+            # re-project onto ortho + span(direction) every piter steps
+            # (reference ganrewrite.py:291-294)
+            w = lax.cond((it % piter == 0) | (it == niter - 1),
+                         lambda w: ortho + projected_conv(w, direction),
+                         lambda w: w, w)
+        return (w, opt_state), loss
+
+    (w, _), losses = lax.scan(step, (weight0, opt.init(weight0)),
+                              jnp.arange(niter))
+    return w, losses
+
+
+def insert_solve(window_fn: Callable, weight0, goal_in, goal_out, direction,
+                 niter: int = 2001, piter: int = 10, lr: float = 0.05,
+                 low_rank_insert: bool = True,
+                 low_rank_gradient: bool = False,
+                 update_callback: Optional[Callable] = None,
+                 return_timing: bool = False):
+    """Solve min_w L1(goal_out, window_fn(w, goal_in)) subject to the
+    low-rank context constraint. window_fn(w, goal_in) must be pure and
+    traceable. Returns (weight, losses[, elapsed_ms])."""
+    import time
+    direction = jnp.asarray(direction)
+    if return_timing:
+        jax.block_until_ready(weight0)
+        t0 = time.time()
+    w, losses = _insert_scan(window_fn, weight0, goal_in, goal_out,
+                             direction, niter, piter, lr,
+                             low_rank_insert, low_rank_gradient)
+    if return_timing:
+        jax.block_until_ready(w)
+        elapsed_ms = (time.time() - t0) * 1000.0
+    if update_callback is not None:
+        for it, loss in enumerate(np.asarray(losses)):
+            update_callback(it, loss)
+    if return_timing:
+        return w, losses, elapsed_ms
+    return w, losses
+
+
+# ---------------------------------------------------------------------------
+# linear_insert — learn Lambda with w1 = w0 + Lambda @ D
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("window_fn", "niter"))
+def _linear_insert_scan(window_fn, weight0, goal_in, goal_out, direction,
+                        niter: int, lr: float):
+    rank = direction.shape[0]
+    if weight0.ndim == 5:
+        g, o, i, kh, kw = weight0.shape
+        lam0 = jnp.zeros((g, o, rank, kh, kw), weight0.dtype)
+
+        def w_of(lam):
+            return weight0 + jnp.einsum("godyx,di->goiyx", lam, direction)
+    else:
+        o, i, kh, kw = weight0.shape
+        lam0 = jnp.zeros((o, rank, kh, kw), weight0.dtype)
+
+        def w_of(lam):
+            return weight0 + jnp.einsum("odyx,di->oiyx", lam, direction)
+
+    opt = optax.adam(lr)
+
+    def loss_fn(lam):
+        return jnp.mean(jnp.abs(goal_out - window_fn(w_of(lam), goal_in)))
+
+    def step(carry, _):
+        lam, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(lam)
+        updates, opt_state = opt.update(grad, opt_state, lam)
+        lam = optax.apply_updates(lam, updates)
+        return (lam, opt_state), loss
+
+    (lam, _), losses = lax.scan(step, (lam0, opt.init(lam0)),
+                                None, length=niter)
+    return w_of(lam), losses
+
+
+def linear_insert_solve(window_fn, weight0, goal_in, goal_out, direction,
+                        niter: int = 2001, lr: float = 0.05,
+                        update_callback=None, return_timing: bool = False):
+    """The reference's alternative parameterization: the update is exactly
+    Lambda·D by construction instead of by projection
+    (reference ganrewrite.py:201-252)."""
+    import time
+    direction = jnp.asarray(direction)
+    if return_timing:
+        jax.block_until_ready(weight0)
+        t0 = time.time()
+    w, losses = _linear_insert_scan(window_fn, weight0, goal_in, goal_out,
+                                    direction, niter, lr)
+    if return_timing:
+        jax.block_until_ready(w)
+        elapsed_ms = (time.time() - t0) * 1000.0
+    if update_callback is not None:
+        for it, loss in enumerate(np.asarray(losses)):
+            update_callback(it, loss)
+    if return_timing:
+        return w, losses, elapsed_ms
+    return w, losses

@@ -6,22 +6,19 @@ vars must be set before jax initializes its backends.
 """
 
 import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-
 import pathlib
 
 import numpy as np
 import pytest
 
-# Persistent compilation cache: XLA-CPU conv compiles take minutes; cache
-# them across test runs.
+# NOTE: in this image the axon TPU plugin ignores the JAX_PLATFORMS env var;
+# the config API is the reliable way to pin the platform.
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache across test runs.
 jax.config.update("jax_compilation_cache_dir",
                   str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
