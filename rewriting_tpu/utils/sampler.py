@@ -1,0 +1,84 @@
+"""Deterministic dataset samplers and resolution-independent coordinate
+sampling.
+
+Behavioral rebuild of reference utils/sampler.py with the exact determinism
+contracts (the published per-seed index sequences are part of the fixture
+compatibility surface — see the reference's self-test vectors, reproduced in
+tests/test_infra.py)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy
+
+
+class FixedSubsetSampler:
+    """A fixed explicit sequence of dataset indices
+    (reference sampler.py:20-46)."""
+
+    def __init__(self, samples):
+        self.samples = list(samples)
+
+    def __iter__(self):
+        return iter(self.samples)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, key):
+        return self.samples[key]
+
+    def dereference(self, indices):
+        """Output indices -> original dataset indices."""
+        return [self.samples[i] for i in indices]
+
+    def subset(self, new_subset):
+        return FixedSubsetSampler(self.dereference(new_subset))
+
+
+class FixedRandomSubsetSampler(FixedSubsetSampler):
+    """Seeded shuffle of range(len(data_source))[start:end] — always the
+    same sequence (reference sampler.py:48-78, seeded random.Random)."""
+
+    def __init__(self, data_source, start=None, end=None, seed=1):
+        rng = random.Random(seed)
+        shuffled = list(range(len(data_source)))
+        rng.shuffle(shuffled)
+        self.data_source = data_source
+        super().__init__(shuffled[start:end])
+
+    def class_subset(self, class_filter):
+        if isinstance(class_filter, int):
+            def rule(d):
+                return d[1] == class_filter
+        else:
+            rule = class_filter
+        return self.subset([i for i, j in enumerate(self.samples)
+                            if rule(self.data_source[j])])
+
+
+def coordinate_sample(shape, sample_size, seeds, grid=13, seed=1,
+                      flat=False):
+    """Sample grid-jittered coordinates of a feature map, deterministically
+    per seed and *resolution-independent*: the same (seed, grid) picks the
+    same relative locations at any shape (reference sampler.py:81-107).
+    Returns (len(seeds), 2, sample_size) or flat raveled indices."""
+    assert sample_size <= grid
+    if flat:
+        sampind = numpy.zeros((len(seeds), sample_size), dtype=int)
+    else:
+        sampind = numpy.zeros((len(seeds), 2, sample_size), dtype=int)
+    for j, s in enumerate(seeds):
+        rng = numpy.random.RandomState(s)
+        square_count = grid ** len(shape)
+        square = numpy.stack(numpy.unravel_index(
+            rng.choice(square_count, square_count)[:sample_size],
+            (grid,) * len(shape)))
+        uniform = (square + rng.uniform(size=square.shape)) / grid
+        coords = (uniform * numpy.array(shape)[:, None]).astype(int)
+        if flat:
+            sampind[j] = numpy.ravel_multi_index(coords, dims=shape)
+        else:
+            sampind[j] = coords
+    return sampind

@@ -1,0 +1,171 @@
+"""Infra utilities: pidfile exclusion, worker pools, native PNG encoder,
+deterministic samplers (reference self-test vectors), show/easydict."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rewriting_tpu.utils import pidfile, show
+from rewriting_tpu.utils.easydict import EasyDict
+from rewriting_tpu.utils.imgsave import SaveImagePool, save_image_set
+from rewriting_tpu.utils.sampler import (FixedRandomSubsetSampler,
+                                         FixedSubsetSampler,
+                                         coordinate_sample)
+from rewriting_tpu.utils.workerpool import WorkerBase, WorkerPool
+from rewriting_tpu import native
+
+
+# ---------------------------------------------------------------------------
+# samplers — the reference's published determinism vectors
+# (reference utils/sampler.py:148-179)
+# ---------------------------------------------------------------------------
+
+def test_coordinate_sample_vectors():
+    np.testing.assert_equal(
+        coordinate_sample((26, 26), 10, range(101, 102)),
+        [[[14, 0, 12, 11, 8, 13, 11, 20, 7, 20],
+          [9, 22, 7, 11, 23, 18, 21, 15, 2, 5]]])
+    np.testing.assert_equal(
+        coordinate_sample((13, 13), 10, range(101, 102)),
+        [[[7, 0, 6, 5, 4, 6, 5, 10, 3, 10],
+          [4, 11, 3, 5, 11, 9, 10, 7, 1, 2]]])
+    np.testing.assert_equal(
+        coordinate_sample((13, 13), 10, range(100, 102), flat=True),
+        [[8, 24, 67, 103, 87, 79, 138, 94, 98, 53],
+         [95, 11, 81, 70, 63, 87, 75, 137, 40, 132]])
+
+
+def test_fixed_random_subset_sampler():
+    fss = FixedRandomSubsetSampler(range(10))
+    assert list(fss) == [6, 8, 9, 7, 5, 3, 0, 4, 1, 2]
+    fss = FixedRandomSubsetSampler(range(10), 3, 8)
+    assert list(fss) == [7, 5, 3, 0, 4]
+    fss = FixedRandomSubsetSampler(
+        [(i, i % 3) for i in range(10)]).class_subset(class_filter=1)
+    assert list(fss) == [7, 4, 1]
+
+
+def test_fixed_subset_sampler():
+    s = FixedSubsetSampler([5, 3, 9])
+    assert len(s) == 3 and s[1] == 3
+    assert s.dereference([0, 2]) == [5, 9]
+    assert list(s.subset([2, 0])) == [9, 5]
+
+
+# ---------------------------------------------------------------------------
+# pidfile
+# ---------------------------------------------------------------------------
+
+def test_pidfile_claim_and_done(tmp_path):
+    d = str(tmp_path / "job")
+    os.makedirs(d)
+    lock = os.path.join(d, "lockfile.pid")
+    assert pidfile.pidfile_taken(lock) is None      # we claim it
+    assert os.path.exists(lock)
+    # a second process cannot claim it
+    code = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from rewriting_tpu.utils import pidfile; "
+         "sys.exit(0 if pidfile.pidfile_taken(%r) else 1)"
+         % (os.getcwd(), lock)],
+        capture_output=True).returncode
+    assert code == 0  # holder string returned -> exit 0
+    pidfile.mark_job_done(d)
+    assert os.path.isfile(os.path.join(d, "done.txt"))
+    # exit_if_job_done exits(0) on done dirs
+    code = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from rewriting_tpu.utils import pidfile; "
+         "pidfile.exit_if_job_done(%r); sys.exit(3)"
+         % (os.getcwd(), d)],
+        capture_output=True).returncode
+    assert code == 0
+
+
+def test_pidfile_stale_takeover(tmp_path):
+    lock = str(tmp_path / "lockfile.pid")
+    import socket
+    with open(lock, "w") as f:
+        f.write(f"{socket.gethostname()}:999999999\n")  # dead pid
+    assert pidfile.pidfile_taken(lock) is None  # stale lock taken over
+
+
+# ---------------------------------------------------------------------------
+# workerpool + imgsave + native encoder
+# ---------------------------------------------------------------------------
+
+class _SquareWriter(WorkerBase):
+    def work(self, x, path):
+        with open(path, "w") as f:
+            f.write(str(x * x))
+
+
+def test_workerpool(tmp_path):
+    pool = WorkerPool(worker=_SquareWriter, nworkers=3)
+    for i in range(20):
+        pool.add(i, str(tmp_path / f"f{i}.txt"))
+    pool.join()
+    for i in range(20):
+        assert open(tmp_path / f"f{i}.txt").read() == str(i * i)
+
+
+def test_native_png_roundtrip():
+    if not native.native_available():
+        pytest.skip("native png encoder unavailable (no g++/zlib)")
+    import PIL.Image
+    import io
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (37, 61, 3), np.uint8)
+    data = native.encode_png(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    decoded = np.asarray(PIL.Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(decoded, img)
+
+
+def test_save_image_set(tmp_path):
+    rng = np.random.RandomState(1)
+    imgs = [rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32)
+            for _ in range(4)]
+    pattern = str(tmp_path / "img_%d.png")
+    save_image_set(imgs, pattern)
+    import PIL.Image
+    for i in range(4):
+        im = PIL.Image.open(pattern % i)
+        assert im.size == (8, 8)
+
+
+def test_save_image_pool(tmp_path):
+    pool = SaveImagePool(nworkers=2)
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+    for i in range(6):
+        pool.add(arr, str(tmp_path / f"p{i}.png"))
+    pool.join()
+    import PIL.Image
+    got = np.asarray(PIL.Image.open(tmp_path / "p3.png"))
+    np.testing.assert_array_equal(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def test_easydict():
+    d = EasyDict(a=1, b={"c": 2})
+    assert d.a == 1 and d.b.c == 2
+    d.x = {"y": 3}
+    assert d.x.y == 3
+    del d.a
+    assert "a" not in d
+
+
+def test_show_html():
+    out = show.html("hello", [np.zeros((4, 4, 3), np.float32), "x"],
+                    {"k": "v"})
+    assert "hello" in out and "img src=\"data:image/png" in out
+    assert "<table>" in out
