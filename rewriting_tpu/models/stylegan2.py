@@ -473,6 +473,8 @@ def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
 
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    expected_shapes = jax.tree_util.tree_map(lambda x: str(np.shape(x)),
+                                             params)
     for k, v in sd.items():
         v = as_np(v)
         if re.match(r"^style\.\d+\.(weight|bias)$", k):
@@ -511,4 +513,17 @@ def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
             pass
         else:
             raise ValueError(f"unrecognized StyleGAN2 param {k!r}")
+    # shape validation: a checkpoint for a different architecture must not
+    # be silently half-loaded (latent_avg legitimately grows from the
+    # scalar placeholder to a (style_dim,) vector)
+    got_shapes = jax.tree_util.tree_map(lambda x: str(np.shape(x)), params)
+    for (path, want), (_, got) in zip(
+            jax.tree_util.tree_leaves_with_path(expected_shapes),
+            jax.tree_util.tree_leaves_with_path(got_shapes)):
+        name = jax.tree_util.keystr(path)
+        if "latent_avg" in name:
+            continue
+        if want != got:
+            raise ValueError(f"checkpoint param {name} has shape {got}, "
+                             f"model expects {want}")
     return jax.tree_util.tree_map(jnp.asarray, params)

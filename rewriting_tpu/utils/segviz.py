@@ -1,0 +1,52 @@
+"""Segmentation visualization: label maps -> high-contrast color images
+(behavioral equivalent of reference utils/segviz.py segment_visualization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .upsample import resize_bilinear
+
+
+def _golden_palette(n: int) -> np.ndarray:
+    """Deterministic high-contrast palette: golden-ratio hue walk."""
+    hues = (np.arange(n) * 0.61803398875) % 1.0
+    sat = np.where(np.arange(n) % 2 == 0, 0.85, 0.6)
+    val = np.where(np.arange(n) % 3 == 0, 0.95, 0.75)
+    h6 = hues * 6.0
+    c = val * sat
+    x = c * (1 - np.abs(h6 % 2 - 1))
+    m = val - c
+    rgb = np.zeros((n, 3))
+    for i in range(n):
+        k = int(h6[i]) % 6
+        rgb[i] = [(c[i], x[i], 0), (x[i], c[i], 0), (0, c[i], x[i]),
+                  (0, x[i], c[i]), (x[i], 0, c[i]), (c[i], 0, x[i])][k]
+    rgb += m[:, None]
+    rgb[0] = 0.0  # label 0 = background = black
+    return (rgb * 255).astype(np.uint8)
+
+
+_PALETTE = _golden_palette(2048)
+
+
+def segment_visualization(seg, size=None) -> np.ndarray:
+    """(H, W) int label map -> (size) RGB uint8 visualization
+    (reference segviz.py:28)."""
+    seg = np.asarray(seg)
+    if seg.ndim == 3:  # multilabel (M, H, W): show the first nonzero layer
+        first = seg[0].copy()
+        for layer in seg[1:]:
+            first = np.where(first == 0, layer, first)
+        seg = first
+    rgb = _PALETTE[seg % len(_PALETTE)]
+    if size is not None:
+        rgb = resize_bilinear(rgb.astype(np.float32), size)
+        # nearest-like: recolor via majority is overkill; round
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    return rgb
+
+
+def high_contrast_palette():
+    return _PALETTE.copy()
