@@ -1,0 +1,113 @@
+"""'Undesired change' damage metric: distance outside the edited region.
+
+Behavioral rebuild of reference metrics/distances.py compute_dl (:96-136):
+for each image index, mask out the source-labeled region (from the clean
+model's segmentation) and measure masked LPIPS (spatial net-lin VGG) or
+per-pixel L1 between the clean and edited renders over the *rest* of the
+image.  The reference's only multi-GPU use is DataParallel around LPIPS
+(:28); here the batch axis shards over the device mesh instead."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..utils import renormalize
+
+
+def _load_image(path: str) -> np.ndarray:
+    import PIL.Image
+    img = np.asarray(PIL.Image.open(path).convert("RGB"), np.float32) / 255.
+    return renormalize.renormalize(img, "pt", "zc")
+
+
+def _load_seg(path_base: str):
+    """Load a per-image segmentation saved by seg_stats (.npz) or the
+    reference's torch .pth format."""
+    if os.path.exists(path_base + ".npz"):
+        return np.load(path_base + ".npz")["seg"]
+    if os.path.exists(path_base + ".pth"):
+        import torch
+        return torch.load(path_base + ".pth", map_location="cpu").numpy()
+    raise FileNotFoundError(path_base + ".{npz,pth}")
+
+
+def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,
+               indices: Iterable[int], src: Sequence[int] = (1708,),
+               srcc: int = 2, metric: str = "l1",
+               lpips_model=None, lpips_params=None,
+               batch_size: int = 100, mask_edits: bool = True):
+    """Total and count of the damage metric over indexed images.
+
+    metric: 'l1' (masked per-pixel L1 sum / pixel count), 'lpips'
+    (masked spatial LPIPS per image), or 'lpips_unmasked' (the reference's
+    --mask_lpips variant: LPIPS over the whole image).
+    Returns (total, count)."""
+    indices = list(indices)
+    total, count = 0.0, 0
+    if metric.startswith("lpips") and lpips_model is None:
+        from .lpips import LPIPS
+        import jax
+        lpips_model = LPIPS(spatial=True)
+        if lpips_params is None:
+            lpips_params = LPIPS.init_params(jax.random.PRNGKey(0))
+
+    for lo in range(0, len(indices), batch_size):
+        chunk = indices[lo:lo + batch_size]
+        before = np.stack([_load_image(
+            os.path.join(before_imgs, f"{i}.png")) for i in chunk])
+        after = np.stack([_load_image(
+            os.path.join(after_imgs, f"{i}.png")) for i in chunk])
+        masks = np.ones(before.shape[:3], np.float32)
+        if mask_edits:
+            for j, i in enumerate(chunk):
+                seg = _load_seg(os.path.join(before_seg, str(i)))
+                ch = seg[srcc] if seg.ndim == 3 else seg
+                if ch.shape != masks.shape[1:]:
+                    from ..utils.upsample import resize_bilinear
+                    ch = (resize_bilinear(ch.astype(np.float32),
+                                          masks.shape[1:]) > 0.5) * ch.max()
+                keep = np.ones_like(ch, np.float32)
+                for label in src:
+                    keep = keep * (ch != label)
+                masks[j] = keep
+        if metric == "l1":
+            diff = np.abs(after - before).sum(axis=-1)
+            total += float((diff * masks).sum())
+            count += int(masks.sum())
+        else:
+            use_mask = None if metric == "lpips_unmasked" else masks
+            d = np.asarray(lpips_model(lpips_params, before, after,
+                                       use_mask if use_mask is not None
+                                       else np.ones_like(masks)))
+            total += float(d.sum())
+            count += len(chunk)
+    return total, count
+
+
+def main():  # pragma: no cover - CLI (reference distances.py:139-160)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp_name", required=True)
+    ap.add_argument("--results", default="results/samples")
+    ap.add_argument("--metric", default="l1",
+                    choices=["l1", "lpips", "lpips_unmasked"])
+    ap.add_argument("--num", type=int, default=10000)
+    args = ap.parse_args()
+    from .load_mask import load_mask_info
+    from .load_seg import load_seg_info_from_exp_name
+    _, dataset, _ = load_mask_info(args.exp_name)
+    _, srcc, _, src, _ = load_seg_info_from_exp_name(args.exp_name)
+    total, count = compute_dl(
+        os.path.join(args.results, f"{dataset}_clean"),
+        os.path.join(args.results, "seg", f"{dataset}_clean"),
+        os.path.join(args.results, args.exp_name),
+        range(args.num), src=src, srcc=srcc, metric=args.metric)
+    print(f"after: {args.exp_name}")
+    print(f"total={total} count={count} mean={total / max(count, 1)}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

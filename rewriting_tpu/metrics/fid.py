@@ -1,0 +1,151 @@
+"""Frechet Inception Distance: feature statistics + Frechet distance.
+
+Machinery equivalent of the reference's metrics/fid.py (TF1 Inception
+pool_3 activations :90-131, Frechet distance :137-187, m/s npz stats) with
+a pluggable jitted feature extractor (metrics/inception.py by default) and
+streaming covariance accumulation (stats.RunningCovariance) so the 50k-image
+statistics never materialize the full activation matrix.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..stats.running import RunningCovariance
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
+                               eps: float = 1e-6) -> float:
+    """||mu1 - mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) (reference
+    fid.py:137-187, incl. the eps-on-diagonal retry and imaginary-part
+    check)."""
+    mu1, mu2 = np.atleast_1d(np.asarray(mu1)), np.atleast_1d(np.asarray(mu2))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    diff = mu1.astype(np.float64) - mu2.astype(np.float64)
+
+    def _sqrtm(a):
+        out = scipy.linalg.sqrtm(a)
+        return out[0] if isinstance(out, tuple) else out
+
+    covmean = _sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+class FeatureExtractor:
+    """Default FID feature extractor: jitted InceptionV3 pool3."""
+
+    def __init__(self, params=None, batch_size: int = 50):
+        from .inception import InceptionV3Features
+        self.net = InceptionV3Features()
+        if params is None:
+            params = self.net.init_params(jax.random.PRNGKey(0))
+        self.params = params
+        self.batch_size = batch_size
+        self._jitted = jax.jit(self.net.__call__)
+
+    def __call__(self, images) -> np.ndarray:
+        return np.asarray(self._jitted(self.params, jnp.asarray(images)))
+
+
+def compute_feature_stats(batches: Iterable, feature_fn: Callable
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream batches of zc NHWC images into (mu, sigma) feature stats."""
+    cov = RunningCovariance()
+    for batch in batches:
+        cov.add(jnp.asarray(feature_fn(batch)))
+    return np.asarray(cov.mean()), np.asarray(cov.covariance(unbiased=True))
+
+
+def save_stats(path: str, mu, sigma):
+    """m/s npz format compatible with the reference's cached stats
+    (reference get_fid.py / fid.py use keys 'mu' and 'sigma')."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, mu=np.asarray(mu), sigma=np.asarray(sigma))
+
+
+def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    d = np.load(path)
+    return d["mu"], d["sigma"]
+
+
+def _image_dir_batches(path: str, batch_size: int):
+    import PIL.Image
+    from ..utils import renormalize
+    files = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    batch = []
+    for f in files:
+        img = np.asarray(PIL.Image.open(os.path.join(path, f))
+                         .convert("RGB"), np.float32) / 255.0
+        batch.append(renormalize.renormalize(img, "pt", "zc"))
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def compute_fid(a, b, feature_fn: Optional[Callable] = None,
+                batch_size: int = 50) -> float:
+    """FID between two sources; each of a/b may be an image directory path,
+    an (N, H, W, 3) zc array, an iterable of batches, or a stats npz path
+    (reference fid.py:232-245 CLI behavior)."""
+    if feature_fn is None:
+        feature_fn = FeatureExtractor(batch_size=batch_size)
+
+    def stats_of(src):
+        if isinstance(src, str) and src.endswith(".npz"):
+            return load_stats(src)
+        if isinstance(src, str):
+            return compute_feature_stats(
+                _image_dir_batches(src, batch_size), feature_fn)
+        if isinstance(src, np.ndarray) or hasattr(src, "shape"):
+            arr = np.asarray(src)
+            return compute_feature_stats(
+                (arr[i:i + batch_size]
+                 for i in range(0, len(arr), batch_size)), feature_fn)
+        return compute_feature_stats(src, feature_fn)
+
+    mu1, s1 = stats_of(a)
+    mu2, s2 = stats_of(b)
+    return calculate_frechet_distance(mu1, s1, mu2, s2)
+
+
+def main():  # pragma: no cover - CLI smoke (reference fid.py:248-282)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path_a")
+    ap.add_argument("path_b")
+    ap.add_argument("--batch_size", type=int, default=50)
+    ap.add_argument("--inception_weights", default=None,
+                    help="torch .pth with torchvision/pytorch-fid weights")
+    args = ap.parse_args()
+    feature_fn = None
+    if args.inception_weights:
+        import torch
+        from .inception import params_from_torch_state_dict
+        sd = torch.load(args.inception_weights, map_location="cpu")
+        feature_fn = FeatureExtractor(params_from_torch_state_dict(sd),
+                                      args.batch_size)
+    print(compute_fid(args.path_a, args.path_b, feature_fn,
+                      args.batch_size))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

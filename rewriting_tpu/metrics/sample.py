@@ -1,0 +1,81 @@
+"""Sample clean images from a generator into a results directory.
+
+Behavioral rebuild of reference metrics/sample.py: 10k images, one per
+z-seed (image number == seed; FID split uses seed offset 1000007),
+truncation 0.5, async image writing, lightbox gallery, pidfile done
+markers.
+
+TPU-native: images are generated in jitted batches (the reference loops
+batch=1) and written through the native-PNG worker pool."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+
+from ..utils import pbar, renormalize
+from ..utils.imgsave import SaveImagePool
+from ..utils.pidfile import mark_job_done, reserve_dir
+from ..utils.zdataset import standard_z_sample
+
+FID_OFFSET = 1000007  # reference sample.py:20
+
+
+def per_image_z(model, imgnums) -> np.ndarray:
+    """The reference's z contract: image i uses the FIRST vector of seed i
+    (z_sample_for_model(size=1, seed=imgnum), sample.py:34)."""
+    return np.stack([standard_z_sample(1, model.z_dim, seed=int(i))[0]
+                     for i in imgnums])
+
+
+def sample_clean(model, params, outdir: str, n: int = 10000,
+                 batch_size: int = 16, offset: int = 0,
+                 sample_fn=None) -> None:
+    """Write {outdir}/{imgnum}.png for imgnum in [0, n)."""
+    import jax
+    os.makedirs(outdir, exist_ok=True)
+    lightbox = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "utils", "lightbox.html")
+    shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
+    if sample_fn is None:
+        sample_fn = jax.jit(lambda p, z: model(p, z))
+    saver = SaveImagePool()
+    for lo in pbar.pbar(range(0, n, batch_size)):
+        nums = list(range(lo, min(lo + batch_size, n)))
+        zs = per_image_z(model, [i + offset for i in nums])
+        if len(zs) < batch_size:  # keep one compiled shape
+            pad = batch_size - len(zs)
+            zs = np.concatenate([zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
+        imgs = np.asarray(sample_fn(params, zs))[:len(nums)]
+        imgs = renormalize.renormalize(np.clip(imgs, -1, 1), "zc", "byte")
+        for num, img in zip(nums, imgs):
+            saver.add(img, os.path.join(outdir, f"{num}.png"))
+    saver.join()
+
+
+def main():  # pragma: no cover - CLI (reference sample.py:13-38)
+    import argparse
+    ap = argparse.ArgumentParser("Sample clean images from a generator")
+    ap.add_argument("--dataset", choices=["faces", "church", "horse",
+                                          "kitchen", "bedroom", "car",
+                                          "cat", "places"], required=True)
+    ap.add_argument("--fid_samples", action="store_true")
+    ap.add_argument("--n", type=int, default=10000)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--results", default="results/samples")
+    args = ap.parse_args()
+    name = f"{args.dataset}_clean" + ("_fid" if args.fid_samples else "")
+    outdir = reserve_dir(os.path.join(args.results, name))
+    from ..models.zoo import load_seq_stylegan
+    model, params = load_seq_stylegan(args.dataset, truncation=0.5)
+    sample_clean(model, params, outdir, n=args.n,
+                 batch_size=args.batch_size,
+                 offset=FID_OFFSET if args.fid_samples else 0)
+    mark_job_done(outdir)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

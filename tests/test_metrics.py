@@ -1,0 +1,168 @@
+"""Metrics machinery: Frechet distance, feature stats, Inception/LPIPS
+pipelines (random weights — shapes/invariances), sampling drivers, and the
+effectiveness/damage metrics on toy data."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rewriting_tpu.metrics import fid as fid_mod
+from rewriting_tpu.metrics import seg_correct_mod, distances
+from rewriting_tpu.metrics.lpips import LPIPS
+from rewriting_tpu.metrics.sample import per_image_z, sample_clean
+from rewriting_tpu.models import ProgressiveGenerator
+from rewriting_tpu.utils import renormalize
+
+
+def test_frechet_distance_identity_and_analytic():
+    rng = np.random.RandomState(0)
+    mu = rng.randn(8)
+    a = rng.randn(8, 8)
+    sigma = a @ a.T + np.eye(8)
+    assert abs(fid_mod.calculate_frechet_distance(mu, sigma, mu, sigma)) \
+        < 1e-6
+    # diagonal analytic case
+    mu1, mu2 = np.zeros(4), np.ones(4)
+    s1 = np.diag([1.0, 2.0, 3.0, 4.0])
+    s2 = np.diag([2.0, 2.0, 1.0, 1.0])
+    want = (np.sum((mu1 - mu2) ** 2)
+            + np.sum(np.diag(s1) + np.diag(s2)
+                     - 2 * np.sqrt(np.diag(s1) * np.diag(s2))))
+    got = fid_mod.calculate_frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_feature_stats_stream_equals_direct():
+    rng = np.random.RandomState(1)
+    feats = rng.randn(300, 6).astype(np.float32)
+    mu, sigma = fid_mod.compute_feature_stats(
+        (feats[i:i + 64] for i in range(0, 300, 64)), lambda x: x)
+    np.testing.assert_allclose(mu, feats.mean(0), atol=1e-5)
+    np.testing.assert_allclose(sigma, np.cov(feats.T), atol=1e-4)
+
+
+def test_compute_fid_with_cheap_features():
+    rng = np.random.RandomState(2)
+
+    def feat(x):
+        x = np.asarray(x)
+        return x.reshape(x.shape[0], -1)[:, :32]
+
+    a = rng.randn(200, 8, 8, 3).astype(np.float32) * 0.1
+    b = a + 0.0
+    same = fid_mod.compute_fid(a, b, feature_fn=feat, batch_size=64)
+    shifted = fid_mod.compute_fid(a, a + 1.0, feature_fn=feat,
+                                  batch_size=64)
+    assert same < 1e-3
+    assert shifted > 10.0
+
+
+def test_fid_stats_roundtrip(tmp_path):
+    mu, sigma = np.arange(4.0), np.eye(4)
+    p = str(tmp_path / "stats.npz")
+    fid_mod.save_stats(p, mu, sigma)
+    m2, s2 = fid_mod.load_stats(p)
+    np.testing.assert_array_equal(m2, mu)
+    d = fid_mod.compute_fid(p, p, feature_fn=lambda x: x)
+    assert d < 1e-8
+
+
+@pytest.mark.slow
+def test_inception_shapes():
+    from rewriting_tpu.metrics.inception import InceptionV3Features
+    net = InceptionV3Features(resize_to=299)
+    params = net.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
+    feats = net(params, x)
+    assert feats.shape == (2, 2048)
+    assert bool(np.isfinite(np.asarray(feats)).all())
+
+
+def test_lpips_invariances():
+    lp = LPIPS(spatial=True)
+    params = LPIPS.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    d_aa = np.asarray(lp(params, a, a))
+    d_ab = np.asarray(lp(params, a, b))
+    d_ba = np.asarray(lp(params, b, a))
+    assert np.all(d_aa < 1e-6)
+    assert np.all(d_ab > 1e-4)
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-4)
+    # mask restricted to an identical region -> near zero
+    c = a.copy()
+    c[:, 16:, :, :] = b[:, 16:, :, :]  # differs only in bottom half
+    mask_top = np.zeros((2, 32, 32), np.float32)
+    mask_top[:, :8, :] = 1.0  # stay away from the seam
+    d_masked = np.asarray(lp(params, a, c, mask_top))
+    d_full = np.asarray(lp(params, a, c))
+    assert np.all(d_masked < d_full)
+
+
+def test_seg_correct_mod_toy(tmp_path):
+    before = tmp_path / "before"
+    after = tmp_path / "after"
+    before.mkdir()
+    after.mkdir()
+    for i in range(3):
+        b = np.zeros((3, 8, 8), np.int64)
+        b[2, :4, :] = 1708  # source region in channel 2
+        a = np.zeros((3, 8, 8), np.int64)
+        a[0, :2, :] = 5     # half of it became the target label
+        np.savez_compressed(before / f"{i}.npz", seg=b)
+        np.savez_compressed(after / f"{i}.npz", seg=a)
+    total, count = seg_correct_mod.compute_dl(
+        str(before), str(after), range(3), tgt=[5], tgtc=0, src=[1708],
+        srcc=2)
+    assert count == 3 * 4 * 8
+    assert total == 3 * 2 * 8
+
+
+def test_distances_l1_toy(tmp_path):
+    import PIL.Image
+    before = tmp_path / "b"
+    seg = tmp_path / "s"
+    after = tmp_path / "a"
+    for d in (before, seg, after):
+        d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        img = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        PIL.Image.fromarray(img).save(before / f"{i}.png")
+        img2 = img.copy()
+        img2[:4] = 0  # edited region (top half), masked out by seg
+        PIL.Image.fromarray(img2).save(after / f"{i}.png")
+        s = np.zeros((3, 8, 8), np.int64)
+        s[2, :4, :] = 1708
+        np.savez_compressed(seg / f"{i}.npz", seg=s)
+    total, count = distances.compute_dl(
+        str(before), str(seg), str(after), range(2), src=[1708], srcc=2,
+        metric="l1")
+    # outside the masked (edited) region nothing changed
+    assert count == 2 * 4 * 8 and total == 0.0
+
+
+def test_per_image_z_contract():
+    model = ProgressiveGenerator(sizes=[8, 8, 4])
+    zs = per_image_z(model, [0, 1, 5])
+    from rewriting_tpu.utils.zdataset import standard_z_sample
+    np.testing.assert_array_equal(zs[2], standard_z_sample(1, 8, seed=5)[0])
+
+
+def test_sample_clean_writes_images(tmp_path):
+    import PIL.Image
+    model = ProgressiveGenerator(sizes=[8, 8, 4])
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = str(tmp_path / "clean")
+    sample_clean(model, params, out, n=5, batch_size=2)
+    assert os.path.exists(os.path.join(out, "+lightbox.html"))
+    img = np.asarray(PIL.Image.open(os.path.join(out, "3.png")))
+    # determinism: re-render image 3 directly from its z
+    z = per_image_z(model, [3])
+    direct = renormalize.renormalize(
+        np.clip(np.asarray(model(params, z))[0], -1, 1), "zc", "byte")
+    np.testing.assert_allclose(img.astype(int), direct.astype(int),
+                               atol=1)
