@@ -21,7 +21,9 @@ from .resnet import (init_resnet50, resnet50_features, resnet50_from_torch)
 
 POOL_SCALES = (1, 2, 3, 6)
 FPN_INPLANES = (256, 512, 1024, 2048)
-FPN_DIM = 256
+# the released 'upernet' decoder is built with fpn_dim=512
+# (reference models.py:286-291 via build_decoder, fc_dim=2048)
+FPN_DIM = 512
 FC_DIM = 2048  # resnet50 conv5 channels
 
 

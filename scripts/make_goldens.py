@@ -24,6 +24,11 @@ REF = pathlib.Path("/root/reference")
 OUT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
 OUT.mkdir(parents=True, exist_ok=True)
 
+# torchvision is not installed in this image; the reference segmenter files
+# import it at module level without using it on our code paths
+if "torchvision" not in sys.modules:
+    sys.modules["torchvision"] = types.ModuleType("torchvision")
+
 
 # ---------------------------------------------------------------------------
 # CPU implementations of the reference CUDA ops (from their documented specs)
@@ -225,7 +230,140 @@ def make_upfirdn_golden():
     print("upfirdn2d cases saved")
 
 
+# ---------------------------------------------------------------------------
+# BiSeNet face parser golden (random seeded weights)
+# ---------------------------------------------------------------------------
+
+def make_bisenet_golden():
+    sys.path.insert(0, str(REF / "metrics" / "face-parsing.PyTorch"))
+    import importlib
+    resnet_mod = _load_module("fp_resnet",
+                              REF / "metrics/face-parsing.PyTorch/resnet.py")
+    # model.py does "from resnet import Resnet18"
+    sys.modules["resnet"] = resnet_mod
+    # avoid downloading imagenet weights in Resnet18.init_weight
+    resnet_mod.modelzoo.load_url = lambda url: (_ for _ in ()).throw(
+        RuntimeError("no net"))
+    orig_init = resnet_mod.Resnet18.init_weight
+    resnet_mod.Resnet18.init_weight = lambda self: None
+    model_mod = _load_module("fp_model",
+                             REF / "metrics/face-parsing.PyTorch/model.py")
+    torch.manual_seed(0)
+    net = model_mod.BiSeNet(n_classes=19)
+    net.eval()
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out = net(torch.from_numpy(x))[0]
+    data = {f"sd.{k}": v for k, v in sd_to_np(net.state_dict()).items()}
+    data.update(x=x, out=out.numpy())
+    np.savez(OUT / "bisenet_tiny.npz", **data)
+    print("bisenet:", out.shape)
+
+
+# ---------------------------------------------------------------------------
+# UPerNet unified parsing golden (random seeded weights, toy labeldata)
+# ---------------------------------------------------------------------------
+
+LABELDATA = {
+    "object": ["-", "sky", "building", "tree"],
+    "part": ["-", "roof", "window", "tree"],
+    "material": ["-", "brick", "glass"],
+    "scene": ["-", "outdoor"],
+    "object_part": {"building": ["roof", "window", "tree"]},
+}
+
+
+class _NumericalPrRoIPool2D(nn.Module):
+    """Independent dense-integration stand-in for the CUDA PrRoI pool
+    (only full-image rois, as UPerNet uses)."""
+
+    def __init__(self, ph, pw, scale):
+        super().__init__()
+        self.ph, self.pw, self.scale = ph, pw, scale
+
+    def forward(self, feat, rois):
+        n, c, h, w = feat.shape
+        f = feat.detach().numpy()
+        out = np.zeros((len(rois), c, self.ph, self.pw), np.float32)
+        steps = 64
+        for r, roi in enumerate(rois.numpy()):
+            bi = int(roi[0])
+            x0, y0, x1, y1 = roi[1:] * self.scale
+            for py in range(self.ph):
+                ys = np.linspace(y0 + (y1 - y0) * py / self.ph,
+                                 y0 + (y1 - y0) * (py + 1) / self.ph, steps)
+                wy = np.maximum(0, 1 - np.abs(
+                    ys[:, None] - np.arange(h)[None]))  # (steps, h)
+                for px in range(self.pw):
+                    xs = np.linspace(x0 + (x1 - x0) * px / self.pw,
+                                     x0 + (x1 - x0) * (px + 1) / self.pw,
+                                     steps)
+                    wx = np.maximum(0, 1 - np.abs(
+                        xs[:, None] - np.arange(w)[None]))  # (steps, w)
+                    vals = np.einsum("sh,chw,tw->st", wy, f[bi], wx)
+                    out[r, :, py, px] = np.einsum(
+                        "sh,chw,tw->c", wy, f[bi], wx) / (steps * steps)
+        return torch.from_numpy(out)
+
+
+def make_upernet_golden():
+    import types as _t
+    prroi_stub = _t.ModuleType("refup.prroi_pool")
+    prroi_stub.PrRoIPool2D = _NumericalPrRoIPool2D
+    pkg = _t.ModuleType("refup")
+    pkg.__path__ = [str(REF / "utils" / "upsegmodel")]
+    sys.modules["refup"] = pkg
+    sys.modules["refup.prroi_pool"] = prroi_stub
+    for sub in ["resnet", "resnext"]:
+        spec = importlib.util.spec_from_file_location(
+            f"refup.{sub}", REF / "utils" / "upsegmodel" / f"{sub}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refup.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "refup.models", REF / "utils" / "upsegmodel" / "models.py")
+    models = importlib.util.module_from_spec(spec)
+    sys.modules["refup.models"] = models
+    spec.loader.exec_module(models)
+
+    torch.manual_seed(0)
+    nr_classes = {k: len(LABELDATA[k])
+                  for k in ["object", "scene", "material"]}
+    nr_classes["part"] = sum(len(p)
+                             for p in LABELDATA["object_part"].values())
+    orig = sys.modules["refup.resnet"].resnet50(pretrained=False)
+    encoder = models.Resnet(orig)
+    decoder = models.UPerNet(nr_classes=nr_classes, fc_dim=2048,
+                             use_softmax=True, fpn_dim=512)
+    decoder.apply(models.ModelBuilder.weights_init)
+    segmodule = models.SegmentationModule(encoder, decoder, LABELDATA)
+    segmodule.eval()
+    rng = np.random.RandomState(6)
+    img = rng.uniform(-120, 130, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feats = encoder(torch.from_numpy(img), return_feature_maps=True)
+        pred = segmodule(dict(img=torch.from_numpy(img)),
+                         seg_size=(64, 64))
+    enc_sd = {f"enc.{k}": v
+              for k, v in sd_to_np(encoder.state_dict()).items()}
+    dec_sd = {f"dec.{k}": v
+              for k, v in sd_to_np(decoder.state_dict()).items()}
+    data = {**enc_sd, **dec_sd, "img": img,
+            "object": pred["object"].numpy(),
+            "material": pred["material"].numpy(),
+            "scene": pred["scene"].numpy()}
+    for i, f in enumerate(feats):
+        data[f"feat_{i}"] = f.numpy()
+    for i, p in enumerate(pred["part"]):
+        data[f"part_{i}"] = p.numpy()
+    np.savez(OUT / "upernet_tiny.npz", **data)
+    print("upernet:", pred["object"].shape)
+
+
 if __name__ == "__main__":
     make_upfirdn_golden()
     make_proggan_golden()
     make_stylegan_golden()
+    make_bisenet_golden()
+    make_upernet_golden()
