@@ -596,6 +596,41 @@ class SeqStyleGanRewriter(GanRewriter):
         return (f"layer{layernum}.{prefix}.mconv.dconv",
                 f"layer{layernum}.{prefix}.activate")
 
+    def sample_image_patch(self, z, act_crop_size: int, seed=(None, None)):
+        """Render the image patch corresponding to a crop of the edit
+        window's input activations — used by the per-layer patch-FID sweep
+        (reference ganrewrite.py:667-698)."""
+        import random as _random
+        bag = self._context(self.params, self.model.make_bag(
+            jnp.asarray(z)))
+        h, w = bag["fmap"].shape[1:3]
+        assert act_crop_size <= h
+        if seed[0] is not None:
+            xi, yi = seed
+        else:
+            xi = _random.randint(0, h - act_crop_size)
+            yi = _random.randint(0, w - act_crop_size)
+        cropped = _patched_bag(bag, xi, yi, act_crop_size)
+        out = self._render(self.params,
+                           self._target(self.params, cropped))
+        return self.rendered_image(out)
+
+
+def _patched_bag(bag: DataBag, xi, yi, size) -> DataBag:
+    new = DataBag(bag)
+    fmap = bag["fmap"]
+    new["fmap"] = fmap[:, xi:xi + size, yi:yi + size, :]
+    if "output" in bag:
+        out = bag["output"]
+        if out.shape[1:3] == fmap.shape[1:3]:
+            new["output"] = out[:, xi:xi + size, yi:yi + size, :]
+        else:
+            # the running rgb output is 2x the activation resolution
+            # (reference ganrewrite.py:683-687)
+            new["output"] = out[:, 2 * xi:2 * (xi + size),
+                                2 * yi:2 * (yi + size), :]
+    return new
+
 
 class SeqTinyStyleGanRewriter(SeqStyleGanRewriter):
     """dconv-only window: no nonlinearity in the target

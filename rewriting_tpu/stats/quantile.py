@@ -35,6 +35,7 @@ class RunningQuantile:
         self.rng = np.random.RandomState(seed)
         self.units: Optional[int] = None
         self.count = 0.0
+        self.batchcount = 0
         # levels[i]: numpy (units, cap) sorted-insertion buffer; fill[i] int
         self.levels: List[np.ndarray] = []
         self.fill: List[int] = []
@@ -63,6 +64,7 @@ class RunningQuantile:
         self.extremes[:, 0] = np.minimum(self.extremes[:, 0], x.min(axis=1))
         self.extremes[:, 1] = np.maximum(self.extremes[:, 1], x.max(axis=1))
         self.count += batch.shape[0]
+        self.batchcount += 1
         n = x.shape[1]
         pos = 0
         while pos < n:
@@ -182,6 +184,7 @@ class RunningQuantile:
              "resolution": np.array(self.resolution),
              "cap": np.array(self.cap),
              "count": np.array(self.count),
+             "batchcount": np.array(self.batchcount),
              "units": np.array(self.units if self.units else 0),
              "fill": np.array(self.fill, np.int64),
              "extremes": (self.extremes if self.extremes is not None
@@ -194,6 +197,7 @@ class RunningQuantile:
         self.resolution = int(d["resolution"])
         self.cap = int(d["cap"])
         self.count = float(d["count"])
+        self.batchcount = int(d.get("batchcount", 0))
         units = int(d["units"])
         self.units = units if units else None
         self.fill = [int(f) for f in d["fill"]]

@@ -225,6 +225,108 @@ def conditional_samples(acts, segs):
 
 
 # ---------------------------------------------------------------------------
+# IoU / mutual-information statistics from conditional reducers
+# (reference tally.py:483-620)
+# ---------------------------------------------------------------------------
+
+def iou_from_conditional_indicator_mean(condmv) -> jnp.ndarray:
+    """RunningConditionalMean over 0/1 indicators -> (conditions, units)
+    all-pairs IoU (reference tally.py:483-511)."""
+    uncond = condmv.conditional(0)
+    act = np.asarray(uncond.mean())
+    units = act.shape[0]
+    conditions = max(condmv.keys()) + 1
+    gt = np.zeros(conditions, np.float32)
+    isect = np.zeros((conditions, units), np.float32)
+    for k in condmv.keys():
+        gt[k] = condmv.conditional(k).count / uncond.count
+        isect[k] = np.asarray(condmv.conditional(k).mean()) * gt[k]
+    union = act[None, :] + gt[:, None] - isect
+    return jnp.asarray(isect / np.maximum(union, 1e-20))
+
+
+def intersection_over_union(arr):
+    return arr[0, 0] / np.maximum(1 - arr[1, 1], 1e-20)
+
+
+def mutual_information(arr):
+    """arr is [[p(a&b), p(a&!b)], [p(!a&b), p(!a&!b)]] (+ trailing dims)
+    (reference tally.py:592-602)."""
+    total = 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(2):
+            for k in range(2):
+                joint = arr[j, k]
+                ind = arr[j].sum(axis=0) * arr[:, k].sum(axis=0)
+                term = joint * np.log(joint / ind)
+                total = total + np.nan_to_num(term)
+    return np.maximum(total, 0)
+
+
+def joint_entropy(arr):
+    total = 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(2):
+            for k in range(2):
+                joint = arr[j, k]
+                total = total + np.nan_to_num(joint * np.log(joint))
+    return np.maximum(-total, 0)
+
+
+def information_quality_ratio(arr):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iqr = mutual_information(arr) / joint_entropy(arr)
+    return np.nan_to_num(iqr)
+
+
+def intersection_from_conditional_quantile(
+        condq, statistic=lambda x: x[0, 0], cutoff=0.95, min_batches=2):
+    """All-pairs statistics of thresholded activations vs conditions from
+    per-condition quantile sketches (reference tally.py:551-585).
+    Returns (units, conditions[, cutoffs])."""
+    cutoff = np.atleast_1d(np.asarray(cutoff, np.float64))
+    uncond = condq.conditional(0)
+    units = uncond.units
+    scores = np.zeros((units, max(condq.keys()) + 1) + cutoff.shape,
+                      np.float32)
+    actlevel = np.asarray(uncond.quantiles(cutoff))  # (units, n_cutoffs)
+    for c in sorted(condq.keys()):
+        rq = condq.conditional(c)
+        if c == 0 or rq.batchcount < min_batches:
+            continue
+        condp = np.asarray(rq.normalize(actlevel))       # (units, n_cut)
+        truth = float(rq.count) / uncond.count
+        isect = truth * (1 - condp)
+        pred = (1 - cutoff)[None, :]
+        union = pred + truth - isect
+        arr = np.stack([isect, pred - isect,
+                        truth - isect, 1 - union]).reshape(
+            (2, 2) + isect.shape)
+        scores[:, c, ...] = statistic(arr)
+    return jnp.asarray(scores if cutoff.shape != (1,)
+                       else scores[..., 0])
+
+
+def iou_from_conditional_quantile(condq, cutoff=0.95, min_batches=2):
+    """(reference tally.py:514-527)"""
+    return intersection_from_conditional_quantile(
+        condq, statistic=intersection_over_union, cutoff=cutoff,
+        min_batches=min_batches)
+
+
+def mi_from_conditional_quantile(condq, cutoff=0.95, min_batches=2):
+    return intersection_from_conditional_quantile(
+        condq, statistic=mutual_information, cutoff=cutoff,
+        min_batches=min_batches)
+
+
+def iqr_from_conditional_quantile(condq, cutoff=0.95, min_batches=2):
+    return intersection_from_conditional_quantile(
+        condq, statistic=information_quality_ratio, cutoff=cutoff,
+        min_batches=min_batches)
+
+
+# ---------------------------------------------------------------------------
 # Fully-jitted scan reduction (one XLA program, device-resident data)
 # ---------------------------------------------------------------------------
 
