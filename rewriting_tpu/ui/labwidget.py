@@ -1,0 +1,354 @@
+"""labwidget: a dependency-free Python<->JS widget framework for Jupyter.
+
+Clean-room rebuild of the reference's widget system (utils/labwidget.py):
+the same core concepts — ``Model`` objects holding ``Property`` values and
+``Trigger`` events that synchronize bidirectionally with a browser view —
+with a compact JS runtime.  Works headless too: all state changes and
+events can be driven purely from Python (that is how the app logic is
+tested), and in Jupyter/Colab the HTML repr wires a comm channel.
+
+Key semantics mirrored from the reference:
+- setting ``widget.prop = value`` notifies Python listeners and the view;
+- ``on('propname', cb)`` / ``off`` register listeners for changes;
+- Triggers fire events without holding state;
+- widgets compose by embedding each other's ``_repr_html_``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import itertools
+import json
+from typing import Any, Callable, Dict, List, Optional
+
+_id_counter = itertools.count(1)
+
+
+class Property:
+    """A synchronized value. Declared as a class or instance attribute of a
+    Model; reads/writes go through the model."""
+
+    def __init__(self, value=None):
+        self.value = value
+
+    def copy(self):
+        return Property(self.value)
+
+
+class Trigger(Property):
+    """An event channel: no persistent value, just notifications."""
+
+    def __init__(self):
+        super().__init__(None)
+
+    def copy(self):
+        return Trigger()
+
+
+class _Binding:
+    __slots__ = ("prop", "listeners")
+
+    def __init__(self, prop):
+        self.prop = prop
+        self.listeners: List[Callable] = []
+
+
+class Model:
+    """Holds named Properties/Triggers with change notification."""
+
+    def __init__(self, **kwargs):
+        object.__setattr__(self, "_bindings", {})
+        # class-level Property declarations become per-instance bindings
+        for klass in reversed(type(self).__mro__):
+            for name, value in vars(klass).items():
+                if isinstance(value, Property):
+                    self._bindings[name] = _Binding(value.copy())
+        for name, value in kwargs.items():
+            self._declare_or_set(name, value)
+
+    def _declare_or_set(self, name, value):
+        if isinstance(value, Property):
+            self._bindings[name] = _Binding(value)
+        elif name in self._bindings:
+            self.set(name, value)
+        else:
+            object.__setattr__(self, name, value)
+
+    # -- attribute routing ---------------------------------------------------
+    # class-level Property declarations would shadow instance lookups, so
+    # bound names are routed through __getattribute__
+    def __getattribute__(self, name):
+        if not name.startswith("_"):
+            bindings = object.__getattribute__(self, "__dict__").get(
+                "_bindings")
+            if bindings and name in bindings:
+                return bindings[name].prop.value
+        return object.__getattribute__(self, name)
+
+    def __setattr__(self, name, value):
+        if name in self._bindings and not isinstance(value, Property):
+            self.set(name, value)
+        else:
+            self._declare_or_set(name, value)
+
+    # -- API -------------------------------------------------------------------
+    def prop(self, name) -> Property:
+        return self._bindings[name].prop
+
+    def set(self, name, value, _from_view=False):
+        b = self._bindings[name]
+        if not isinstance(b.prop, Trigger):
+            b.prop.value = value
+        for cb in list(b.listeners):
+            cb(value)
+        if not _from_view:
+            self._send_to_view(name, value)
+
+    def trigger(self, name, value=None):
+        self.set(name, value)
+
+    def on(self, names, cb):
+        for name in names.split():
+            self._bindings[name].listeners.append(cb)
+        return self
+
+    def off(self, names, cb=None):
+        for name in names.split():
+            b = self._bindings[name]
+            if cb is None:
+                b.listeners.clear()
+            elif cb in b.listeners:
+                b.listeners.remove(cb)
+        return self
+
+    def property_names(self):
+        return list(self._bindings)
+
+    def _send_to_view(self, name, value):
+        pass  # overridden by Widget when a comm is open
+
+
+_COMM_JS = r"""
+(function() {
+  var model = {id: "%(id)s", props: %(props)s, comm: null, handlers: {}};
+  function connect() {
+    if (typeof Jupyter !== 'undefined' && Jupyter.notebook &&
+        Jupyter.notebook.kernel) {
+      model.comm = Jupyter.notebook.kernel.comm_manager.new_comm(
+          'labwidget', {id: model.id});
+      model.comm.on_msg(function(msg) {
+        var d = msg.content.data;
+        model.props[d.name] = d.value;
+        (model.handlers[d.name] || []).forEach(function(h) { h(d.value); });
+      });
+    }
+  }
+  model.set = function(name, value) {
+    model.props[name] = value;
+    if (model.comm) { model.comm.send({name: name, value: value}); }
+    (model.handlers[name] || []).forEach(function(h) { h(value); });
+  };
+  model.on = function(name, h) {
+    (model.handlers[name] = model.handlers[name] || []).push(h);
+  };
+  connect();
+  window._labwidget_models = window._labwidget_models || {};
+  window._labwidget_models[model.id] = model;
+  %(setup)s
+})();
+"""
+
+
+class Widget(Model):
+    """A Model with an HTML view."""
+
+    def __init__(self, style=None, **kwargs):
+        object.__setattr__(self, "_view_id", f"lw{next(_id_counter)}")
+        object.__setattr__(self, "_comm", None)
+        super().__init__(**kwargs)
+        self.style = style or {}
+        self._maybe_register_comm()
+
+    def _maybe_register_comm(self):
+        try:  # pragma: no cover - requires live kernel
+            from ipykernel.comm import Comm  # noqa
+            get_ipython  # noqa
+        except Exception:
+            return
+
+    def _send_to_view(self, name, value):  # pragma: no cover - live kernel
+        if self._comm is not None:
+            try:
+                self._comm.send({"name": name, "value": value})
+            except Exception:
+                pass
+
+    # -- rendering ---------------------------------------------------------------
+    def widget_html(self) -> str:
+        return f'<div id="{self._view_id}"></div>'
+
+    def widget_js(self) -> str:
+        return ""
+
+    def std_attrs(self) -> str:
+        style = ";".join(f"{k}:{v}" for k, v in self.style.items())
+        return f'id="{self._view_id}" style="{style}"'
+
+    def _repr_html_(self) -> str:
+        props = {n: self.prop(n).value for n in self.property_names()
+                 if isinstance(self.prop(n).value,
+                               (int, float, str, bool, type(None)))}
+        js = _COMM_JS % {"id": self._view_id,
+                         "props": json.dumps(props),
+                         "setup": self.widget_js()}
+        return self.widget_html() + f"<script>{js}</script>"
+
+    def display(self):  # pragma: no cover - notebook only
+        from IPython.display import display, HTML
+        display(HTML(self._repr_html_()))
+
+
+# ---------------------------------------------------------------------------
+# standard widgets
+# ---------------------------------------------------------------------------
+
+class Button(Widget):
+    label = Property("button")
+    click = Trigger()
+
+    def __init__(self, label="button", **kwargs):
+        super().__init__(**kwargs)
+        self.label = label
+
+    def widget_html(self):
+        return (f'<button {self.std_attrs()}>'
+                f'{_html.escape(str(self.label))}</button>')
+
+    def widget_js(self):
+        return (f'document.getElementById("{self._view_id}")'
+                f'.addEventListener("click", function() '
+                f'{{ model.set("click", true); }});')
+
+
+class Label(Widget):
+    value = Property("")
+
+    def __init__(self, value="", **kwargs):
+        super().__init__(**kwargs)
+        self.value = value
+
+    def widget_html(self):
+        return (f'<span {self.std_attrs()}>'
+                f'{_html.escape(str(self.value))}</span>')
+
+    def widget_js(self):
+        return (f'model.on("value", function(v) {{ document.'
+                f'getElementById("{self._view_id}").textContent = v; }});')
+
+
+class Textbox(Widget):
+    value = Property("")
+    size = Property(20)
+
+    def __init__(self, value="", size=20, **kwargs):
+        super().__init__(**kwargs)
+        self.value = value
+        self.size = size
+
+    def widget_html(self):
+        return (f'<input {self.std_attrs()} '
+                f'value="{_html.escape(str(self.value))}" '
+                f'size="{self.size}">')
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("change", function() '
+                f'{{ model.set("value", el.value); }});'
+                f'model.on("value", function(v) {{ el.value = v; }});')
+
+
+class Range(Widget):
+    value = Property(50)
+    min = Property(0)
+    max = Property(100)
+
+    def widget_html(self):
+        return (f'<input type="range" {self.std_attrs()} '
+                f'value="{self.value}" min="{self.min}" max="{self.max}">')
+
+
+class Choice(Widget):
+    choices = Property(None)
+    selection = Property(None)
+
+    def __init__(self, choices=None, selection=None, **kwargs):
+        super().__init__(**kwargs)
+        self.choices = choices or []
+        self.selection = selection
+
+    def widget_html(self):
+        opts = "".join(
+            f'<option value="{_html.escape(str(c))}"'
+            + (" selected" if c == self.selection else "")
+            + f'>{_html.escape(str(c))}</option>'
+            for c in (self.choices or []))
+        return f'<select {self.std_attrs()}>{opts}</select>'
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("change", function() '
+                f'{{ model.set("selection", el.value); }});')
+
+
+class Checkbox(Widget):
+    value = Property(False)
+
+    def widget_html(self):
+        checked = " checked" if self.value else ""
+        return f'<input type="checkbox" {self.std_attrs()}{checked}>'
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("change", function() '
+                f'{{ model.set("value", el.checked); }});')
+
+
+class Div(Widget):
+    innerHTML = Property("")
+
+    def __init__(self, innerHTML="", **kwargs):
+        super().__init__(**kwargs)
+        self.innerHTML = innerHTML
+
+    def show(self, html_content):
+        self.innerHTML = html_content
+
+    def widget_html(self):
+        return f'<div {self.std_attrs()}>{self.innerHTML}</div>'
+
+    def widget_js(self):
+        return (f'model.on("innerHTML", function(v) {{ document.'
+                f'getElementById("{self._view_id}").innerHTML = v; }});')
+
+
+class Image(Widget):
+    src = Property("")
+    click = Trigger()
+
+    def __init__(self, src="", **kwargs):
+        super().__init__(**kwargs)
+        self.src = src
+
+    def render(self, img):
+        """Set from a PIL image or (H, W, C) zc array."""
+        from ..utils import renormalize
+        self.src = renormalize.as_url(img)
+
+    def widget_html(self):
+        return f'<img {self.std_attrs()} src="{self.src}">'
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("click", function() '
+                f'{{ model.set("click", true); }});'
+                f'model.on("src", function(v) {{ el.src = v; }});')
