@@ -192,6 +192,49 @@ def _make_blur(blur_kernel, pad, upsample_factor):
     return fn
 
 
+def _make_fused_up_dconv(in_c, out_c, kernel_size, demodulate, blur_kernel,
+                         blur_pad):
+    """Upsampling dconv with the FIR blur folded into the transposed-conv
+    kernel at trace time: correlation-compose the flipped conv kernel with
+    the flipped blur kernel (one big MXU conv instead of conv + depthwise
+    FIR).  Exactly equals dconv -> blur (demod is a per-(batch, out)
+    scalar and commutes with the spatial-only blur)."""
+    fan_in = in_c * kernel_size ** 2
+    scale = 1.0 / math.sqrt(fan_in)
+    kb = np.asarray(make_kernel(blur_kernel)) * 4.0  # upsample gain 2**2
+    kb_flip = jnp.asarray(np.flip(kb, (0, 1)).copy())
+    pad_total = (kernel_size - 1 + blur_pad[0],
+                 kernel_size - 1 + blur_pad[1])
+
+    def fn(params, d: DataBag) -> DataBag:
+        w5 = params["weight"]
+        w = jnp.flip(w5[0], (-2, -1)) * scale          # (O, I, k, k)
+        # correlation composition = full convolution of the two kernels
+        kc = kernel_size + kb.shape[0] - 1
+        fused = lax.conv_general_dilated(
+            w.reshape(out_c * in_c, 1, kernel_size, kernel_size),
+            jnp.flip(kb_flip, (0, 1))[None, None],
+            window_strides=(1, 1),
+            padding=((kb.shape[0] - 1,) * 2, (kb.shape[1] - 1,) * 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=get_precision()).reshape(out_c, in_c, kc, kc)
+        x = d["fmap"]
+        out = lax.conv_general_dilated(
+            x, fused, window_strides=(1, 1),
+            padding=(pad_total, pad_total),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision())
+        if demodulate:
+            style = d["style"]
+            w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
+            demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                      precision=get_precision()) + 1e-8)
+            out = out * demod[:, None, None, :]
+        return DataBag(d, fmap=out)
+    return fn
+
+
 def _noise_inject(params, d: DataBag) -> DataBag:
     x = d["fmap"]
     b, h, w, _ = x.shape
@@ -267,6 +310,9 @@ class SeqStyleGAN2:
         stages: List[Stage] = [Stage("bag_in", _bag_in)]
         # specs used by init_params: name -> (kind, shapes...)
         self._param_specs: Dict[str, tuple] = {}
+        # sampling fast path: stage-fn overrides that fold the FIR blur
+        # into the upsampling conv (same params, same names)
+        self._fused_overrides: Dict[str, object] = {}
 
         # style MLP (models.py:59-65)
         stages.append(Stage("style.0", _pixel_norm_latent))
@@ -305,6 +351,11 @@ class SeqStyleGAN2:
                 sub.append(Stage(f"{prefix}.mconv.blur",
                                  _make_blur(self.blur_kernel, (pad0, pad1),
                                             factor)))
+                self._fused_overrides[f"{prefix}.mconv.dconv"] = \
+                    _make_fused_up_dconv(in_c, out_c, 3, True,
+                                         self.blur_kernel, (pad0, pad1))
+                self._fused_overrides[f"{prefix}.mconv.blur"] = \
+                    lambda params, d: d
             sub.append(Stage(f"{prefix}.noise", _noise_inject))
             self._param_specs[f"{prefix}.noise"] = ("noise_w",)
             sub.append(Stage(f"{prefix}.activate", _fused_lrelu_stage))
@@ -347,6 +398,12 @@ class SeqStyleGAN2:
 
         stages.append(Stage("output", _return_output))
         self.pipeline = StagePipeline(stages)
+        # fused sampling pipeline: identical math with the blur folded into
+        # the transposed conv (one MXU op); reads the SAME params, so edits
+        # apply to both pipelines
+        self.pipeline_fused = StagePipeline([
+            Stage(s.name, self._fused_overrides.get(s.name, s.fn))
+            for s in stages])
 
     # -- noise inputs -------------------------------------------------------
     def prepare_noise(self, batch: int) -> Dict[str, jnp.ndarray]:
@@ -418,10 +475,13 @@ class SeqStyleGAN2:
                    else self.prepare_noise(bag["latent"].shape[0]))
         return bag
 
-    def __call__(self, params, z, noise: Optional[dict] = None):
+    def __call__(self, params, z, noise: Optional[dict] = None,
+                 fused: bool = False):
         """z (B, style_dim) -> NHWC image. Deterministic reference noise is
-        passed as runtime inputs unless explicitly provided."""
-        return self.pipeline(params, self.make_bag(z, noise))["output"]
+        passed as runtime inputs unless explicitly provided. fused=True
+        uses the blur-folded sampling fast path (identical math)."""
+        pipe = self.pipeline_fused if fused else self.pipeline
+        return pipe(params, self.make_bag(z, noise))["output"]
 
     def apply_bag(self, params, bag: DataBag) -> DataBag:
         return self.pipeline(params, bag)

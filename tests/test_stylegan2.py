@@ -71,6 +71,17 @@ def test_truncation_parity(goldens):
     np.testing.assert_allclose(nchw(out), gt["out"], atol=3e-4, rtol=1e-3)
 
 
+def test_fused_pipeline_matches_seq(goldens):
+    """The blur-folded sampling fast path must be numerically equivalent
+    to the sequential (editable) pipeline and hit the torch golden."""
+    g, model, params = _golden_model(goldens)
+    z = jnp.asarray(g["z"])
+    a = np.asarray(model(params, z))
+    b = np.asarray(model(params, z, fused=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(nchw(b), g["out"], atol=3e-4, rtol=1e-3)
+
+
 def test_jit_and_random_init():
     model = SeqStyleGAN2(size=16, style_dim=32, n_mlp=2)
     params = model.init_params(jax.random.PRNGKey(1))
