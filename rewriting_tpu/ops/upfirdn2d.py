@@ -44,16 +44,51 @@ def make_kernel(k) -> jnp.ndarray:
 
 
 def upfirdn2d(x, kernel, up: int = 1, down: int = 1,
-              pad: Tuple[int, int] = (0, 0)):
+              pad: Tuple[int, int] = (0, 0), stencil: bool = False):
     """Apply upfirdn to an NHWC tensor with a (kh, kw) FIR kernel.
 
     Matches torch ``op.upfirdn2d(input_nchw, kernel, up, down, pad)``
     (reference: utils/stylegan2/op/upfirdn2d.py:144-149) with symmetric
     x/y factors and pad = (pad0, pad1) applied to both axes.
+
+    The shift-and-add stencil variant (stencil=True) exists for reference
+    and CPU use; on TPU the materialized zero-inserted intermediate makes
+    it memory-bound-slower than the dilated-conv formulation, so the conv
+    path is the default.  The Pallas kernel (pallas.py) is the fast path
+    for lane-friendly channel counts.
     """
+    if stencil is True and down == 1 and \
+            kernel.shape[0] * kernel.shape[1] <= 64:
+        return _upfirdn2d_stencil(x, kernel, up, pad)
     return upfirdn2d_general(x, kernel, up_x=up, up_y=up, down_x=down,
                              down_y=down, pad_x=(pad[0], pad[1]),
                              pad_y=(pad[0], pad[1]))
+
+
+def _upfirdn2d_stencil(x, kernel, up: int, pad: Tuple[int, int]):
+    """Zero-insert + padded shift-and-add correlation with the flipped
+    kernel (identical math to the reference spec)."""
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    if up > 1:
+        xd = jnp.zeros((n, h * up, w * up, c), x.dtype)
+        xd = xd.at[:, ::up, ::up, :].set(x)
+    else:
+        xd = x
+    p0, p1 = pad
+    xp = jnp.pad(xd, ((0, 0), (max(p0, 0), max(p1, 0)),
+                      (max(p0, 0), max(p1, 0)), (0, 0)))
+    if p0 < 0 or p1 < 0:
+        xp = xp[:, max(-p0, 0): xp.shape[1] - max(-p1, 0),
+                max(-p0, 0): xp.shape[2] - max(-p1, 0), :]
+    ho = xp.shape[1] - kh + 1
+    wo = xp.shape[2] - kw + 1
+    out = jnp.zeros((n, ho, wo, c), x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            out = out + kflip[i, j] * xp[:, i:i + ho, j:j + wo, :]
+    return out
 
 
 def upfirdn2d_general(x, kernel, up_x=1, up_y=1, down_x=1, down_y=1,

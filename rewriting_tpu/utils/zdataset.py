@@ -71,3 +71,35 @@ def z_dataset_for_model(model, size: int = 100, seed: int = 1,
 
 def z_sample_for_model(model, size: int = 100, seed: int = 1) -> np.ndarray:
     return standard_z_sample(size, model.z_dim, seed)
+
+
+def training_loader(model, batch_size: int, epoch_size: int = 10000):
+    """Infinite generator of (B, z_dim) batches, a fresh seeded epoch each
+    pass (reference utils/zdataset.py:71-88)."""
+    g_epoch = 1
+    while True:
+        zds = z_dataset_for_model(model, size=epoch_size, seed=g_epoch + 1)
+        for batch, valid in zds.batches(batch_size):
+            yield batch[:valid]
+        g_epoch += 1
+
+
+def testing_loader(model, batch_size: int, test_size: int = 1000):
+    """Finite iterator over the fixed seed-1 test z set
+    (reference utils/zdataset.py:91-103)."""
+    zds = z_dataset_for_model(model, size=test_size, seed=1)
+    return (batch[:valid] for batch, valid in zds.batches(batch_size))
+
+
+def epoch_grouper(loader, epoch_size: int):
+    """Group an infinite batch stream into epochs of epoch_size batches
+    (reference utils/zdataset.py:106-118)."""
+    import itertools
+    it = iter(loader)
+    while True:
+        chunk = itertools.islice(it, epoch_size)
+        try:
+            first = next(chunk)
+        except StopIteration:
+            return
+        yield itertools.chain((first,), chunk)

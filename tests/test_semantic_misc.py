@@ -1,0 +1,84 @@
+"""Semantic segmenter decoders, get_fid stats, zdataset loaders."""
+
+import jax
+import numpy as np
+import pytest
+
+from rewriting_tpu.metrics.get_fid import model_stats
+from rewriting_tpu.models import ProgressiveGenerator
+from rewriting_tpu.segment.semantic import (C1Decoder, PPMDecoder,
+                                            SemanticSegmenter,
+                                            resnet50_dilated_features)
+from rewriting_tpu.segment.resnet import init_resnet50
+from rewriting_tpu.utils.zdataset import epoch_grouper, training_loader
+from rewriting_tpu.utils.zdataset import testing_loader as eval_loader
+
+
+@pytest.mark.slow
+def test_dilated_resnet_output_stride():
+    p = init_resnet50(jax.random.PRNGKey(0))
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    outs = resnet50_dilated_features(p, x, dilate_scale=8)
+    # dilate8: layers 3/4 keep the stride-8 resolution
+    assert outs[1].shape[1:3] == (8, 8)
+    assert outs[2].shape[1:3] == (8, 8)
+    assert outs[3].shape[1:3] == (8, 8)
+    outs16 = resnet50_dilated_features(p, x, dilate_scale=16)
+    assert outs16[3].shape[1:3] == (4, 4)
+
+
+@pytest.mark.slow
+def test_semantic_segmenter():
+    labels = ["-", "sky", "building", "tree", "grass"]
+    seg = SemanticSegmenter.__new__(SemanticSegmenter)
+    seg.labels = labels
+    seg.segsizes = [64]
+    seg.dilate_scale = 8
+    seg.decoder = PPMDecoder(num_class=len(labels))
+    seg.params = None
+    seg._jit = jax.jit(seg._forward, static_argnames=("seg_size",))
+    seg.params = seg.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
+                           minval=-1, maxval=1)
+    out = seg.segment_batch(x)
+    assert out.shape == (2, 1, 64, 64)
+    assert out.max() < len(labels)
+    score, mask = seg.predict_single_class(x, 2)
+    assert score.shape == (2, 64, 64)
+    labelcats, cats = seg.get_label_and_category_names()
+    assert cats == ["object"] and len(labelcats) == 5
+
+
+def test_c1_decoder_shapes():
+    dec = C1Decoder(num_class=7, fc_dim=32)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    conv_out = [None, None, None,
+                np.zeros((1, 4, 4, 32), np.float32)]
+    out = dec(params, conv_out, seg_size=(16, 16))
+    assert out.shape == (1, 16, 16, 7)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+
+
+def test_model_stats_smoke():
+    model = ProgressiveGenerator(sizes=[8, 8, 4])
+    params = model.init_params(jax.random.PRNGKey(0))
+    mu, sigma = model_stats(model, params, n=12, batch_size=4,
+                            feature_fn=lambda x: np.asarray(x).reshape(
+                                len(x), -1)[:, :16])
+    assert mu.shape == (16,) and sigma.shape == (16, 16)
+    assert np.isfinite(mu).all()
+
+
+def test_zdataset_loaders():
+    model = ProgressiveGenerator(sizes=[8, 8, 4])
+    tl = training_loader(model, batch_size=4, epoch_size=10)
+    batches = [next(tl) for _ in range(6)]
+    assert all(b.shape[1] == 8 for b in batches)
+    # epoch 1 has 3 batches (4+4+2); batch 4 starts epoch 2 (different seed)
+    assert batches[0].shape == (4, 8) and batches[2].shape == (2, 8)
+    assert not np.allclose(batches[0], batches[3])
+    test_batches = list(eval_loader(model, batch_size=8, test_size=20))
+    assert sum(len(b) for b in test_batches) == 20
+    groups = epoch_grouper(training_loader(model, 4, epoch_size=8), 2)
+    first = list(next(groups))
+    assert len(first) == 2
