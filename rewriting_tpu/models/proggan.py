@@ -232,3 +232,50 @@ def from_state_dict(sd) -> "tuple[ProgressiveGenerator, dict]":
     sizes = sizes_from_state_dict(sd)
     model = ProgressiveGenerator(sizes=sizes)
     return model, params_from_state_dict(sd)
+
+
+def state_dict_from_tf_parameters(params) -> dict:
+    """Convert original TF ProgGAN variables ({'4x4/Dense/weight': array,
+    ...}) to the reference-format state dict, reproducing the dense->conv
+    view, conv-transpose flips, and axis permutes
+    (reference proggan.py:242-295). Values must be numpy arrays."""
+    params = {k: np.asarray(v) for k, v in params.items()}
+    result = {}
+    i = 0
+    for i in itertools.count():
+        res = 4 * (2 ** (i // 2))
+        tf_name = "%dx%d/%s" % (res, res,
+                                "Dense" if i == 0 else "Conv" if i == 1
+                                else "Conv0_up" if i % 2 == 0 else "Conv1")
+        pt_name = "layer%d" % (i + 1)
+        if f"{tf_name}/weight" not in params:
+            break
+        w = params[f"{tf_name}/weight"]
+        if i == 0:
+            # dense -> 4x4 conv: (in, out*16) -> (out, in, 4, 4) flipped
+            w = w.reshape(w.shape[0], w.shape[1] // 16, 4, 4)
+            w = w.transpose(1, 0, 2, 3)[:, :, ::-1, ::-1]
+        elif i % 2 == 0:
+            # conv-transpose -> conv: permute + spatial flip
+            w = w.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+        else:
+            w = w.transpose(3, 2, 0, 1)
+        result[f"{pt_name}.conv.weight"] = np.ascontiguousarray(
+            w, dtype=np.float32)
+        result[f"{pt_name}.wscale.b"] = np.asarray(
+            params[f"{tf_name}/bias"], np.float32)
+    i -= 1
+    res = 4 * (2 ** (i // 2))
+    out_name = "output_%dx%d" % (res, res)
+    result[f"{out_name}.conv.weight"] = np.ascontiguousarray(
+        np.asarray(params["ToRGB_lod0/weight"]).transpose(3, 2, 0, 1),
+        dtype=np.float32)
+    result[f"{out_name}.wscale.b"] = np.asarray(params["ToRGB_lod0/bias"],
+                                                np.float32)
+    return result
+
+
+def from_tf_parameters(params) -> "tuple[ProgressiveGenerator, dict]":
+    """(model, params) from original TF variables (reference
+    proggan.py:200-208)."""
+    return from_state_dict(state_dict_from_tf_parameters(params))

@@ -640,3 +640,50 @@ class SeqTinyStyleGanRewriter(SeqStyleGanRewriter):
         prefix = "conv" if layernum == 2 else "sconv"
         name = f"layer{layernum}.{prefix}.mconv.dconv"
         return name, name
+
+
+class SeqPreStyleGanRewriter(SeqStyleGanRewriter):
+    """Window starts at adain (style modulation inside the window), so the
+    covariance is adjusted by the style: keys solve against C·diag(s)
+    (reference ganrewrite.py:742-760)."""
+
+    def maplayers(self, layernum):
+        prefix = "conv" if layernum == 2 else "sconv"
+        return (f"layer{layernum}.{prefix}.mconv.adain",
+                f"layer{layernum}.{prefix}.activate")
+
+    def target_weight(self):
+        # the learned conv lives one stage after adain
+        dconv = self.firstlayer.replace(".adain", ".dconv")
+        return self.params[dconv]["weight"]
+
+    def set_target_weight(self, w):
+        dconv = self.firstlayer.replace(".adain", ".dconv")
+        self.params = dict(self.params)
+        self.params[dconv] = {**self.params[dconv],
+                              "weight": jnp.asarray(w)}
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # rebind the solve's weight injection to the dconv stage
+        dconv = self.firstlayer.replace(".adain", ".dconv")
+        target_pipe = self.target_pipe
+
+        def _window(w, goal):
+            bag, p = goal
+            p = dict(p)
+            p[dconv] = {**p[dconv], "weight": w}
+            return target_pipe(p, bag)["fmap"]
+        self._window_fn = _window
+
+    def covariance_adjusted_key(self, k, kout_bag):
+        """Solve against C·diag(style) — the style of this selection's
+        bag (reference ganrewrite.py:751-760, 'CS version')."""
+        style = np.asarray(kout_bag["style"])[0]
+        cs = np.asarray(self.c_matrix) * style[None, :]
+        kk = np.asarray(k, np.float64)
+        single = kk.ndim == 1
+        x = np.linalg.solve(np.asarray(cs, np.float64),
+                            kk[:, None] if single else kk.T)
+        out = x[:, 0] if single else x.T
+        return jnp.asarray(out.astype(np.float32))

@@ -26,7 +26,7 @@ MXU; no per-sample python loops):
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -414,6 +414,51 @@ class RunningTopK(_Running):
     @property
     def count(self):
         return int(self.state["count"])
+
+
+# ---------------------------------------------------------------------------
+# GatherTensor: lazily-allocated (unit, rank) -> data grid for top-k
+# visualizations (reference runningstats.py:204-266)
+# ---------------------------------------------------------------------------
+
+class GatherTensor:
+    """Collects one data row per (unit, rank) slot, allocated on first
+    add; used to gather e.g. the image crops of each unit's top-k
+    activations without holding everything in memory."""
+
+    def __init__(self, topk=None, k: Optional[int] = None):
+        self.topk = topk
+        self.k = k if k is not None else (topk.k if topk else None)
+        self._data = None
+
+    def add(self, unit: int, rank: int, value):
+        value = np.asarray(value)
+        if self._data is None:
+            units = (self.topk.state["values"].shape[0]
+                     if self.topk is not None else unit + 1)
+            self._data = np.zeros((units, self.k) + value.shape,
+                                  value.dtype)
+        if unit >= self._data.shape[0]:  # grow lazily
+            grown = np.zeros((unit + 1,) + self._data.shape[1:],
+                             self._data.dtype)
+            grown[:self._data.shape[0]] = self._data
+            self._data = grown
+        self._data[unit, rank] = value
+
+    def result(self):
+        return self._data
+
+    def state_dict(self):
+        return {"constructor": np.array(
+            "rewriting_tpu.stats.GatherTensor"),
+            "k": np.array(self.k),
+            "data": self._data if self._data is not None
+            else np.zeros((0, 0))}
+
+    def set_state_dict(self, d):
+        self.k = int(d["k"])
+        data = np.asarray(d["data"])
+        self._data = data if data.size else None
 
 
 # ---------------------------------------------------------------------------

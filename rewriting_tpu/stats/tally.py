@@ -120,6 +120,32 @@ def tally_topk(compute, zds, k=100, batch_size=10, cachefile=None):
                   cachefile, {"k": k})
 
 
+def gather_topk(compute, zds, topk, k=None, batch_size=10):
+    """Gather per-(unit, rank) data for each unit's top-k samples: run
+    ``compute(zbatch)`` only over batches containing needed samples and
+    store compute's per-sample rows into a GatherTensor
+    (reference tally.py:71-103)."""
+    vals, idx = (np.asarray(v) for v in topk.result())
+    k = k or idx.shape[1]
+    needed = {}
+    for unit in range(idx.shape[0]):
+        for rank in range(k):
+            needed.setdefault(int(idx[unit, rank]), []).append(
+                (unit, rank))
+    gt = running.GatherTensor(topk=topk, k=k)
+    for lo in range(0, len(zds), batch_size):
+        hit = [i for i in range(lo, min(lo + batch_size, len(zds)))
+               if i in needed]
+        if not hit:
+            continue
+        out = np.asarray(compute(jnp.asarray(
+            zds.zs[lo:lo + batch_size])))
+        for i in hit:
+            for unit, rank in needed[i]:
+                gt.add(unit, rank, out[i - lo])
+    return gt
+
+
 def tally_quantile(compute, zds, resolution=6 * 1024, batch_size=10,
                    cachefile=None):
     return _tally(RunningQuantile(resolution=resolution), compute, zds,
