@@ -106,6 +106,33 @@ def main():
                                  direction, niter=edit_iters, piter=10,
                                  lr=0.05, return_timing=True)
 
+    # fast low-rank-decomposed linear insert (full conv hoisted out of the
+    # loop; rewrite/solve.py fast_linear_insert_solve)
+    import math
+    from jax import lax
+    from rewriting_tpu.rewrite.solve import fast_linear_insert_solve
+    from rewriting_tpu.ops.precision import get_precision
+    scale = 1.0 / math.sqrt(in_c * 9)
+
+    def conv_fn(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision())
+
+    tail = model.pipeline.subsequence(first_layer=f"{layer}.noise",
+                                      last_layer=f"{layer}.activate")
+
+    def tail_fn(p, b):
+        return tail(p, b)
+
+    fast_linear_insert_solve(conv_fn, tail_fn, bag, params, goal_out, w0,
+                             direction, scale, niter=edit_iters,
+                             use_demod=True)
+    _, _, fast_ms = fast_linear_insert_solve(
+        conv_fn, tail_fn, bag, params, goal_out, w0, direction, scale,
+        niter=edit_iters, use_demod=True, return_timing=True)
+
     print(json.dumps({
         "metric": "stylegan2_256_sampling" if not args.smoke
                   else "stylegan2_smoke_sampling",
@@ -118,6 +145,7 @@ def main():
         "batch": batch,
         "precision": args.precision,
         "rank1_edit_solve_ms": round(edit_ms, 1),
+        "rank1_fast_linear_solve_ms": round(fast_ms, 1),
         "edit_iters": edit_iters,
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},

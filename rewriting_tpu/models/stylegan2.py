@@ -341,8 +341,8 @@ class SeqStyleGAN2:
             sub.append(Stage(f"{prefix}.mconv.adain", _apply_style))
             sub.append(Stage(f"{prefix}.mconv.dconv",
                              _make_dconv(in_c, out_c, 3, True, upsample)))
-            self._param_specs[f"{prefix}.mconv.dconv"] = ("dconv", in_c,
-                                                          out_c, 3)
+            self._param_specs[f"{prefix}.mconv.dconv"] = (
+                "dconv", in_c, out_c, 3, upsample)
             if upsample:
                 factor, k = 2, 3
                 p = (len(self.blur_kernel) - factor) - (k - 1)
@@ -445,7 +445,7 @@ class SeqStyleGAN2:
                 params[name] = {"input": jax.random.normal(
                     k1, (1, 4, 4, spec[1]), jnp.float32)}
             elif kind == "dconv":
-                _, in_c, out_c, k = spec
+                _, in_c, out_c, k = spec[:4]
                 params[name] = {"weight": jax.random.normal(
                     k1, (1, out_c, in_c, k, k), jnp.float32)}
             elif kind == "noise_w":

@@ -462,6 +462,35 @@ class GanRewriter:
         if return_timing:
             return out[2]
 
+    # -- fast low-rank solve ------------------------------------------------
+    def _fast_parts(self, goal_in):
+        """(conv_fn, tail_fn, scale, use_demod) for the low-rank-decomposed
+        solve, or None when the window doesn't support it."""
+        return None
+
+    def fast_linear_insert(self, goal_in, goal_out, context,
+                           update_callback=None, niter=2001, lr=0.05,
+                           return_timing=False):
+        """Low-rank-decomposed linear insert: mathematically the same Λ·D
+        parameterization as linear_insert, but the full conv is hoisted out
+        of the loop (solve.fast_linear_insert_solve) — orders of magnitude
+        fewer FLOPs per iteration."""
+        parts = self._fast_parts(goal_in)
+        if parts is None:
+            return self.linear_insert(goal_in, goal_out, context,
+                                      update_callback=update_callback,
+                                      niter=niter, lr=lr,
+                                      return_timing=return_timing)
+        conv_fn, tail_fn, scale, use_demod = parts
+        out = solve.fast_linear_insert_solve(
+            conv_fn, tail_fn, goal_in, self.params,
+            self.target_acts(goal_out), self.target_weight(), context,
+            scale, niter=niter, lr=lr, use_demod=use_demod,
+            update_callback=update_callback, return_timing=return_timing)
+        self.set_target_weight(out[0])
+        if return_timing:
+            return out[2]
+
     def zero(self, context, amount=0.0):
         """GANdissect-style erase: remove the weight component along the
         context directions (reference ganrewrite.py:190-199)."""
@@ -586,6 +615,18 @@ class ProgressiveGanRewriter(GanRewriter):
         name = f"layer{layernum}.conv"
         return name, name
 
+    def _fast_parts(self, goal_in):
+        from ..models.proggan import conv2d_nhwc_oihw
+        block = self.firstlayer[:-len(".conv")]
+        padding = self.model._conv_specs[block][3]
+
+        def conv_fn(x, w):
+            return conv2d_nhwc_oihw(x, w, padding)
+
+        def tail_fn(params, bag):
+            return bag  # window is the bare conv
+        return conv_fn, tail_fn, 1.0, False
+
 
 class SeqStyleGanRewriter(GanRewriter):
     """Edit window = dconv .. activate of a StyleGAN2 layer
@@ -595,6 +636,36 @@ class SeqStyleGanRewriter(GanRewriter):
         prefix = "conv" if layernum == 2 else "sconv"
         return (f"layer{layernum}.{prefix}.mconv.dconv",
                 f"layer{layernum}.{prefix}.activate")
+
+    def _fast_parts(self, goal_in):
+        import math
+        from jax import lax as _lax
+        from ..ops.precision import get_precision
+        spec = self.model._param_specs[self.firstlayer]
+        _, in_c, out_c, k, upsample = spec
+        scale = 1.0 / math.sqrt(in_c * k * k)
+
+        def conv_fn(x, w):
+            if upsample:
+                # spatial flip commutes with the input-channel contraction,
+                # so conv(D·x, flip(Λ)) == conv(x, flip(Λ·D)) exactly
+                wf = jnp.flip(w, (-2, -1))
+                return _lax.conv_general_dilated(
+                    x, wf, (1, 1), ((k - 1, k - 1),) * 2,
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                    precision=get_precision())
+            return _lax.conv_general_dilated(
+                x, w, (1, 1), ((k // 2, k // 2),) * 2,
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                precision=get_precision())
+
+        tail = self.model.pipeline.subsequence(
+            after_layer=self.firstlayer, last_layer=self.lastlayer)
+
+        def tail_fn(params, bag):
+            return tail(params, bag)
+        return conv_fn, tail_fn, scale, True
 
     def sample_image_patch(self, z, act_crop_size: int, seed=(None, None)):
         """Render the image patch corresponding to a crop of the edit

@@ -133,6 +133,100 @@ def insert_solve(window_fn: Callable, weight0, goal_in, goal_out, direction,
 
 
 # ---------------------------------------------------------------------------
+# fast linear insert: exploit the low-rank structure.  With w = w0 + Λ·D,
+# conv(x, w) = conv(x, w0) + conv(D·x, Λ): the expensive full conv is
+# CONSTANT over the optimization, so precompute it once; per-iteration work
+# is a rank-channel conv plus the window tail — hundreds of times fewer
+# FLOPs than re-running the window (the reference recomputes the full conv
+# every one of its 2001 iterations).
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conv_fn", "tail_fn", "niter", "use_demod"))
+def _fast_linear_scan(conv_fn, tail_fn, goal, goal_out, w0, direction,
+                      scale: float, niter: int, lr: float,
+                      use_demod: bool):
+    bag, params = goal
+    x = bag["fmap"]
+    rank = direction.shape[0]
+    xD = jnp.einsum("di,bhwi->bhwd", direction, x)
+    w0_4d = w0[0] if w0.ndim == 5 else w0
+    base = conv_fn(x, w0_4d * scale)            # constant across iters
+    if use_demod:
+        style2 = jnp.square(bag["style"])       # (B, I)
+
+    def lift(lam4):
+        # Λ (O, rank, kh, kw) -> full-weight delta (O, I, kh, kw)
+        return jnp.einsum("odyx,di->oiyx", lam4, direction)
+
+    def y_of(lam4):
+        out = base + conv_fn(xD, lam4 * scale)
+        if use_demod:
+            w = w0_4d + lift(lam4)
+            w_sq = jnp.sum(jnp.square(w * scale), axis=(-2, -1))  # (O, I)
+            demod = lax.rsqrt(style2 @ w_sq.T + 1e-8)
+            out = out * demod[:, None, None, :]
+        newbag = dict(bag)
+        newbag["fmap"] = out
+        return tail_fn(params, newbag)["fmap"]
+
+    def loss_fn(lam4):
+        return jnp.mean(jnp.abs(goal_out - y_of(lam4)))
+
+    o = w0_4d.shape[0]
+    kh, kw = w0_4d.shape[-2:]
+    lam0 = jnp.zeros((o, rank, kh, kw), w0.dtype)
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        lam, opt_state = carry
+        loss, grad = jax.value_and_grad(loss_fn)(lam)
+        updates, opt_state = opt.update(grad, opt_state, lam)
+        lam = optax.apply_updates(lam, updates)
+        return (lam, opt_state), loss
+
+    (lam, _), losses = lax.scan(step, (lam0, opt.init(lam0)), None,
+                                length=niter)
+    w_final = w0_4d + lift(lam)
+    if w0.ndim == 5:
+        w_final = w_final[None]
+    return w_final, losses
+
+
+def fast_linear_insert_solve(conv_fn, tail_fn, goal_in_bag, params,
+                             goal_out, w0, direction, scale: float,
+                             niter: int = 2001, lr: float = 0.05,
+                             use_demod: bool = False,
+                             update_callback=None,
+                             return_timing: bool = False):
+    """Low-rank-decomposed linear insert (see _fast_linear_scan).
+
+    conv_fn(x, kernel_oihw) must implement the window's bare linear conv
+    (including any upsampling), WITHOUT weight scaling or demodulation —
+    those are handled here.  tail_fn(params, bag) runs the window stages
+    after the conv.  Mathematically identical to linear_insert_solve
+    (same Λ parameterization, same Adam trajectory)."""
+    import time
+    direction = jnp.asarray(direction)
+    if return_timing:
+        jax.block_until_ready(w0)
+        t0 = time.time()
+    w, losses = _fast_linear_scan(conv_fn, tail_fn,
+                                  (goal_in_bag, params), goal_out, w0,
+                                  direction, scale, niter, lr, use_demod)
+    if return_timing:
+        jax.block_until_ready(w)
+        elapsed_ms = (time.time() - t0) * 1000.0
+    if update_callback is not None:
+        for it, loss in enumerate(np.asarray(losses)):
+            update_callback(it, loss)
+    if return_timing:
+        return w, losses, elapsed_ms
+    return w, losses
+
+
+# ---------------------------------------------------------------------------
 # linear_insert — learn Lambda with w1 = w0 + Lambda @ D
 # ---------------------------------------------------------------------------
 
