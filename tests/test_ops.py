@@ -43,6 +43,34 @@ def test_upfirdn2d_differentiable():
     np.testing.assert_allclose(grad[0, 2, 3, 1], num, rtol=1e-2)
 
 
+def test_upfirdn2d_alternative_formulations(goldens):
+    """The shift-and-add stencil and the separable banded-matmul
+    formulations must match the reference spec exactly."""
+    import jax.numpy as jnp
+    from rewriting_tpu.ops.upfirdn2d import (separable_taps,
+                                             upfirdn2d_matmul)
+    g = goldens("upfirdn2d")
+    x = jnp.asarray(nchw_to_nhwc(g["x"]))
+    taps = separable_taps([1, 3, 3, 1])
+    for name in ["up2_k4", "blur_k4", "negpad"]:
+        up, down, p0, p1 = (int(v) for v in g[f"cfg_{name}"])
+        want = nchw_to_nhwc(g[f"out_{name}"])
+        sten = upfirdn2d(x, jnp.asarray(g["k4"]), up=up, down=down,
+                         pad=(p0, p1), stencil=True)
+        np.testing.assert_allclose(np.asarray(sten), want, atol=1e-5,
+                                   rtol=1e-5, err_msg=f"stencil {name}")
+        mm = upfirdn2d_matmul(x, taps, taps, up=up, down=down,
+                              pad=(p0, p1))
+        np.testing.assert_allclose(np.asarray(mm), want, atol=1e-5,
+                                   rtol=1e-5, err_msg=f"matmul {name}")
+    # matmul handles downsampling too
+    up, down, p0, p1 = (int(v) for v in g["cfg_down2_k4"])
+    mm = upfirdn2d_matmul(x, taps, taps, up=up, down=down, pad=(p0, p1))
+    np.testing.assert_allclose(np.asarray(mm),
+                               nchw_to_nhwc(g["out_down2_k4"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_fused_leaky_relu():
     rng = np.random.RandomState(0)
     x = rng.randn(2, 4, 4, 3).astype(np.float32)
