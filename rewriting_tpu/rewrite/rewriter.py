@@ -54,7 +54,8 @@ class GanRewriter:
                  tight_paste: bool = True,
                  alpha_area: bool = True,
                  key_method: str = "zca",
-                 stats_batch_size: int = 10):
+                 stats_batch_size: int = 10,
+                 mesh=None):
         self.model = model
         self.zds = zds
         self.cachedir = cachedir
@@ -65,6 +66,7 @@ class GanRewriter:
         self.alpha_area = alpha_area
         self.key_method = key_method
         self.stats_batch_size = stats_batch_size
+        self.mesh = mesh  # shards the statistics scan over a device mesh
         self.unit_rq = None
         self.unit_rs = None
         self.cad_rq = None
@@ -193,7 +195,8 @@ class GanRewriter:
             r = running.RunningSecondMoment.from_state_dict(cached)
         else:
             r = tally.tally_second_moment_scan(
-                self._key_rows_fn(), self.zds.zs, self.stats_batch_size)
+                self._key_rows_fn(), self.zds.zs, self.stats_batch_size,
+                mesh=self.mesh)
             tally.save_cached_state(cachefile, r, args)
         return r.moment()
 

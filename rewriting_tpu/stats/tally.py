@@ -201,6 +201,23 @@ def tally_conditional_mean(compute, zds, batch_size=10, cachefile=None):
     return cm
 
 
+def tally_conditional_topk(compute, zds, k=100, batch_size=10,
+                           cachefile=None):
+    """Per-condition top-k (reference tally.py:106-129); compute yields
+    [(condition, rows), ...] per batch."""
+    ct = running.RunningConditionalTopK(k=k)
+    args = {"sample_size": len(zds), "batch_size": batch_size, "k": k}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        ct.set_state_dict(cached)
+        return ct
+    for zbatch, valid in zds.batches(batch_size):
+        for cond, rows in compute(jnp.asarray(zbatch[:valid])):
+            ct.add(cond, rows)
+    save_cached_state(cachefile, ct, args)
+    return ct
+
+
 def tally_conditional_quantile(compute, zds, resolution=6 * 1024,
                                batch_size=10, cachefile=None):
     """Per-condition quantile sketches (reference tally.py:183-215)."""
@@ -357,7 +374,8 @@ def iqr_from_conditional_quantile(condq, cutoff=0.95, min_batches=2):
 # ---------------------------------------------------------------------------
 
 def tally_second_moment_scan(rows_fn, zs, batch_size: int,
-                             dim: Optional[int] = None):
+                             dim: Optional[int] = None, mesh=None,
+                             axis: str = "data"):
     """Compute the uncentered second moment of ``rows_fn(zbatch)`` over all
     z in one compiled scan.  ``zs`` (N, zdim) must be divisible into
     (N//batch_size, batch_size, zdim); rows_fn returns (rows, dim).
@@ -369,6 +387,11 @@ def tally_second_moment_scan(rows_fn, zs, batch_size: int,
     zs = jnp.asarray(zs)
     n = zs.shape[0] - zs.shape[0] % batch_size
     zb = zs[:n].reshape(-1, batch_size, zs.shape[1])
+    if mesh is not None:
+        # shard each scan step's batch over the mesh: the xᵀx contraction
+        # over the sharded sample axis compiles to a psum over ICI
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        zb = jax.device_put(zb, NamedSharding(mesh, P(None, axis)))
 
     if dim is None:
         dim = rows_fn(zb[0]).shape[-1]
