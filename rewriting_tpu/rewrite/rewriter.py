@@ -592,9 +592,20 @@ class GanRewriter:
 
     # -- rendering ---------------------------------------------------------------
     def render_object(self, target_bag, box=None):
+        """Render a target bag; optionally outline `box` (t, l, b, r in
+        v-fmap coordinates) in red (reference ganrewrite.py:596-608)."""
         img = np.asarray(self.rendered_image(
             self._render(self.params, target_bag)))
-        return renormalize.as_image(img[0])
+        if box is None:
+            return renormalize.as_image(img[0])
+        from ..utils import imgviz
+        t, l, b, r = box
+        lowres = np.zeros(self.v_shape[1:3], np.float32)
+        lowres[t:b, l:r] = 1.0
+        iv = imgviz.ImageVisualizer(img.shape[1:3])
+        return iv.masked_image(img[0], mask=lowres,
+                               border_color=(255, 0, 0), thickness=3,
+                               outside_bright=1.0)
 
     def render_image(self, imgnum):
         img = np.asarray(self.sample_image_from_latent(self.get_z(imgnum)))

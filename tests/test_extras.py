@@ -51,6 +51,26 @@ def test_pre_stylegan_rewriter(goldens):
     np.testing.assert_allclose(cs @ x, k, atol=1e-2, rtol=1e-3)
 
 
+@pytest.mark.slow
+def test_sample_image_patch(goldens):
+    g = goldens("stylegan2_tiny")
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    from rewriting_tpu.models.stylegan2 import params_from_state_dict
+    from rewriting_tpu.rewrite import SeqStyleGanRewriter
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2)
+    params = params_from_state_dict(model, sd)
+    zds = z_dataset_for_model(model, 10)
+    gw = SeqStyleGanRewriter(model, params, zds, layernum=4,
+                             stats_batch_size=5)
+    patch = gw.sample_image_patch(gw.get_z(0), act_crop_size=4,
+                                  seed=(1, 2))
+    assert patch.ndim == 4 and patch.shape[0] == 1
+    # deterministic for a fixed seed position
+    patch2 = gw.sample_image_patch(gw.get_z(0), act_crop_size=4,
+                                   seed=(1, 2))
+    np.testing.assert_array_equal(np.asarray(patch), np.asarray(patch2))
+
+
 def test_gather_tensor_and_gather_topk():
     rng = np.random.RandomState(0)
     data = rng.randn(40, 3).astype(np.float32)
