@@ -361,7 +361,47 @@ def make_upernet_golden():
     print("upernet:", pred["object"].shape)
 
 
+# ---------------------------------------------------------------------------
+# VGG16 feature-tap golden (raw torch, torchvision layout, random weights)
+# ---------------------------------------------------------------------------
+
+def make_vgg_golden():
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512, "M"]
+    torch.manual_seed(0)
+    layers = []
+    in_c = 3
+    for item in plan:
+        if item == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_c, item, 3, padding=1))
+            layers.append(nn.ReLU(inplace=False))
+            in_c = item
+    features = nn.Sequential(*layers)
+    features.eval()
+    rng = np.random.RandomState(9)
+    x = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    taps = {}
+    out = torch.from_numpy(x)
+    tap_idx = {3: "relu1_2", 8: "relu2_2", 15: "relu3_3", 22: "relu4_3",
+               29: "relu5_3"}
+    with torch.no_grad():
+        for i, layer in enumerate(features):
+            out = layer(out)
+            if i in tap_idx:
+                taps[tap_idx[i]] = out.numpy()
+    data = {f"sd.features.{i}.{p}": v.detach().numpy()
+            for i, layer in enumerate(features)
+            if isinstance(layer, nn.Conv2d)
+            for p, v in [("weight", layer.weight), ("bias", layer.bias)]}
+    data.update(x=x, **{f"tap.{k}": v for k, v in taps.items()})
+    np.savez(OUT / "vgg16_taps.npz", **data)
+    print("vgg16 taps:", list(taps))
+
+
 if __name__ == "__main__":
+    make_vgg_golden()
     make_upfirdn_golden()
     make_proggan_golden()
     make_stylegan_golden()
