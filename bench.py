@@ -68,6 +68,20 @@ def main():
     for prec in (["highest", "high", "default"] if not args.smoke
                  else [args.precision]):
         rates[prec] = measure(prec)
+    if not args.smoke:
+        # throughput mode: bf16 activations end-to-end
+        from rewriting_tpu.ops.precision import cast_pytree
+        set_precision("default")
+        pc = cast_pytree(params, jnp.bfloat16)
+        zc = z.astype(jnp.bfloat16)
+        nc = cast_pytree(noise, jnp.bfloat16)
+        fwd = jax.jit(lambda p, z, n: model(p, z, n))
+        jax.block_until_ready(fwd(pc, zc, nc))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(pc, zc, nc)
+        jax.block_until_ready(out)
+        rates["bf16_acts"] = batch * iters / (time.perf_counter() - t0)
     set_precision(args.precision)
     img_per_sec = rates[args.precision]
     n_dev = jax.device_count()
