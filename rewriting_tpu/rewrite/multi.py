@@ -48,7 +48,7 @@ def batch_apply_edits(gw, requests: Sequence[dict], rank: int = 1,
     """Solve all requests at once; returns one edited target weight per
     request (gw.params is left untouched — callers pick which edit to
     commit via gw.set_target_weight or keep all for serving)."""
-    parts = gw._fast_parts(None)
+    parts = gw.fast_parts_cached()
     assert parts is not None, "model family lacks a fast decomposition"
     conv_fn, tail_fn, scale, use_demod = parts
     goals = build_goals(gw, requests, rank=rank)

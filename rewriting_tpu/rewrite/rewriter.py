@@ -235,12 +235,19 @@ class GanRewriter:
         return self.unit_rq
 
     def quantiles_for_covariance_adjusted_directions(self):
-        """(reference :567-580)"""
+        """(reference :567-580 — adjusts through the covariance_adjusted_key
+        hook so subclass overrides apply)"""
         if self.cad_rq is None:
-            rows = self._key_rows_fn()
+            params, pipe, model = self.params, self.context_pipe, self.model
+
+            def rows(zbatch):
+                bag = pipe(params, model.make_bag(zbatch))
+                acts = bag["fmap"]
+                flat = acts.reshape(-1, acts.shape[-1])
+                return self.covariance_adjusted_key(flat, bag)
+
             self.cad_rq = tally.tally_quantile(
-                lambda z: self.covariance_adjusted_query_key(rows(z)),
-                self.zds, batch_size=self.stats_batch_size,
+                rows, self.zds, batch_size=self.stats_batch_size,
                 cachefile=self.rf("unit_cad.npz"))
         return self.cad_rq
 
@@ -417,10 +424,22 @@ class GanRewriter:
             result[np.arange(rank), top] = 1.0
             return jnp.asarray(result)
         assert key_method in ("svd", "mean"), key_method
-        obs, w = self._gather_masked_obs(imgnum_mask_pairs, keep_all=True)
-        weighted = obs * w
-        nonzero = weighted[np.linalg.norm(weighted, axis=1) > 0]
-        all_k = np.asarray(self.covariance_adjusted_query_key(nonzero))
+        # per-pair adjustment through the covariance_adjusted_key hook so
+        # subclass overrides (SeqPre's style-adjusted C·diag(s), reference
+        # ganrewrite.py:751-760) apply (reference routes each pair's
+        # k_outs through the hook, :404-414)
+        adjusted = []
+        for imgnum, mask in imgnum_mask_pairs:
+            k_bag = self.context_of(imgnum)
+            k_acts = np.asarray(self.context_acts(k_bag))
+            area = self._mask_at(mask, self.k_shape[1:3])
+            weighted = (k_acts.reshape(-1, k_acts.shape[-1])
+                        * area.reshape(-1, 1))
+            nonzero = weighted[np.linalg.norm(weighted, axis=1) > 0]
+            if len(nonzero):
+                adjusted.append(np.asarray(
+                    self.covariance_adjusted_key(nonzero, k_bag)))
+        all_k = np.concatenate(adjusted)
         just_avg = all_k.mean(0)
         if key_method == "mean":
             assert rank == 1
@@ -471,6 +490,14 @@ class GanRewriter:
         solve, or None when the window doesn't support it."""
         return None
 
+    def fast_parts_cached(self):
+        """Memoized _fast_parts: the closures are static args of the jitted
+        solve, so they must be identity-stable across calls to hit the jit
+        cache (one compile per rewriter, not per insert)."""
+        if not hasattr(self, "_fast_parts_memo"):
+            self._fast_parts_memo = self._fast_parts(None)
+        return self._fast_parts_memo
+
     def fast_linear_insert(self, goal_in, goal_out, context,
                            update_callback=None, niter=2001, lr=0.05,
                            return_timing=False):
@@ -478,7 +505,7 @@ class GanRewriter:
         parameterization as linear_insert, but the full conv is hoisted out
         of the loop (solve.fast_linear_insert_solve) — orders of magnitude
         fewer FLOPs per iteration."""
-        parts = self._fast_parts(goal_in)
+        parts = self.fast_parts_cached()
         if parts is None:
             return self.linear_insert(goal_in, goal_out, context,
                                       update_callback=update_callback,
@@ -655,7 +682,11 @@ class SeqStyleGanRewriter(GanRewriter):
         import math
         from jax import lax as _lax
         from ..ops.precision import get_precision
-        spec = self.model._param_specs[self.firstlayer]
+        spec = self.model._param_specs.get(self.firstlayer)
+        if spec is None or spec[0] != "dconv":
+            # window doesn't start at the linear conv (e.g. SeqPre's
+            # adain window) — fall back to the direct parameterization
+            return None
         _, in_c, out_c, k, upsample = spec
         scale = 1.0 / math.sqrt(in_c * k * k)
 
@@ -674,11 +705,15 @@ class SeqStyleGanRewriter(GanRewriter):
                 dimension_numbers=("NHWC", "OIHW", "NHWC"),
                 precision=get_precision())
 
-        tail = self.model.pipeline.subsequence(
-            after_layer=self.firstlayer, last_layer=self.lastlayer)
+        if self.firstlayer == self.lastlayer:
+            def tail_fn(params, bag):
+                return bag
+        else:
+            tail = self.model.pipeline.subsequence(
+                after_layer=self.firstlayer, last_layer=self.lastlayer)
 
-        def tail_fn(params, bag):
-            return tail(params, bag)
+            def tail_fn(params, bag):
+                return tail(params, bag)
         return conv_fn, tail_fn, scale, True
 
     def sample_image_patch(self, z, act_crop_size: int, seed=(None, None)):
@@ -725,6 +760,8 @@ class SeqTinyStyleGanRewriter(SeqStyleGanRewriter):
         prefix = "conv" if layernum == 2 else "sconv"
         name = f"layer{layernum}.{prefix}.mconv.dconv"
         return name, name
+    # _fast_parts inherits: the base handles the dconv-only window with an
+    # identity tail
 
 
 class SeqPreStyleGanRewriter(SeqStyleGanRewriter):

@@ -156,13 +156,31 @@ def tally_topk_and_quantile(compute, zds, k=100, resolution=6 * 1024,
                             batch_size=10, cachefile=None):
     """One pass feeding both a TopK (per-image max scores) and a quantile
     sketch (flattened scores); compute returns (maxval_rows, flat_rows)
-    (reference tally.py:157-180)."""
+    (reference tally.py:157-180). Both reducers cache into one npz."""
     topk = running.RunningTopK(k=k)
     rq = RunningQuantile(resolution=resolution)
+    args = {"sample_size": len(zds), "batch_size": batch_size, "k": k,
+            "resolution": resolution}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        topk.set_state_dict({kk[len("topk."):]: v for kk, v in
+                             cached.items() if kk.startswith("topk.")})
+        rq.set_state_dict({kk[len("rq."):]: v for kk, v in cached.items()
+                           if kk.startswith("rq.")})
+        return topk, rq
     for zbatch, valid in zds.batches(batch_size):
         maxval, flat = compute(jnp.asarray(zbatch[:valid]))
         topk.add(maxval)
         rq.add(flat)
+    if cachefile is not None:
+        class _Obj:
+            def state_dict(self):
+                d = {f"topk.{kk}": v
+                     for kk, v in topk.state_dict().items()}
+                d.update({f"rq.{kk}": v
+                          for kk, v in rq.state_dict().items()})
+                return d
+        save_cached_state(cachefile, _Obj(), args)
     return topk, rq
 
 
@@ -252,8 +270,11 @@ def conditional_samples(acts, segs):
     segs = np.asarray(segs)
     b, h, w, c = acts.shape
     if segs.shape[-2:] != (h, w):
-        ratio = segs.shape[-2] // h
-        segs = segs[:, :, ::ratio, ::ratio] if ratio >= 1 else segs
+        # nearest-neighbor align labels onto the activation grid (handles
+        # larger, smaller, and non-multiple segmentation resolutions)
+        ys = (np.arange(h) * segs.shape[-2] // h)
+        xs = (np.arange(w) * segs.shape[-1] // w)
+        segs = segs[:, :, ys][:, :, :, xs]
     flat_acts = acts.reshape(-1, c)
     flat_segs = segs.transpose(0, 2, 3, 1).reshape(-1, segs.shape[1])
     out = [(0, flat_acts)]
@@ -394,7 +415,7 @@ def tally_second_moment_scan(rows_fn, zs, batch_size: int,
         zb = jax.device_put(zb, NamedSharding(mesh, P(None, axis)))
 
     if dim is None:
-        dim = rows_fn(zb[0]).shape[-1]
+        dim = jax.eval_shape(rows_fn, zb[0]).shape[-1]
 
     @jax.jit
     def run(zb):
