@@ -23,22 +23,15 @@ def _load_image(path: str) -> np.ndarray:
     return renormalize.renormalize(img, "pt", "zc")
 
 
-def _load_seg(path_base: str):
-    """Load a per-image segmentation saved by seg_stats (.npz) or the
-    reference's torch .pth format."""
-    if os.path.exists(path_base + ".npz"):
-        return np.load(path_base + ".npz")["seg"]
-    if os.path.exists(path_base + ".pth"):
-        import torch
-        return torch.load(path_base + ".pth", map_location="cpu").numpy()
-    raise FileNotFoundError(path_base + ".{npz,pth}")
+from .segio import load_seg as _load_seg  # noqa: E402  (shared helper)
 
 
 def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,
                indices: Iterable[int], src: Sequence[int] = (1708,),
                srcc: int = 2, metric: str = "l1",
                lpips_model=None, lpips_params=None,
-               batch_size: int = 100, mask_edits: bool = True):
+               batch_size: int = 100, mask_edits: bool = True,
+               allow_random_lpips: bool = False):
     """Total and count of the damage metric over indexed images.
 
     metric: 'l1' (masked per-pixel L1 sum / pixel count), 'lpips'
@@ -48,11 +41,27 @@ def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,
     indices = list(indices)
     total, count = 0.0, 0
     if metric.startswith("lpips") and lpips_model is None:
-        from .lpips import LPIPS
-        import jax
+        from .lpips import LPIPS, params_from_torch
         lpips_model = LPIPS(spatial=True)
         if lpips_params is None:
-            lpips_params = LPIPS.init_params(jax.random.PRNGKey(0))
+            from ..models.zoo import _torch_load_numpy, weights_dir
+            vgg_path = os.path.join(weights_dir(), "vgg16_features.pth")
+            lin_path = os.path.join(weights_dir(), "lpips_vgg_lins.pth")
+            if os.path.exists(vgg_path):
+                lpips_params = params_from_torch(
+                    _torch_load_numpy(vgg_path),
+                    _torch_load_numpy(lin_path)
+                    if os.path.exists(lin_path) else None)
+            elif allow_random_lpips:
+                import jax
+                lpips_params = LPIPS.init_params(jax.random.PRNGKey(0))
+            else:
+                raise FileNotFoundError(
+                    f"LPIPS weights not found ({vgg_path}); place a "
+                    "torchvision vgg16 state dict there (and optionally "
+                    "lpips_vgg_lins.pth), or pass allow_random_lpips=True "
+                    "for a pipeline smoke test — the resulting numbers "
+                    "are NOT calibrated LPIPS.")
 
     for lo in range(0, len(indices), batch_size):
         chunk = indices[lo:lo + batch_size]

@@ -48,13 +48,34 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
 
 
 class FeatureExtractor:
-    """Default FID feature extractor: jitted InceptionV3 pool3."""
+    """Default FID feature extractor: jitted InceptionV3 pool3.
 
-    def __init__(self, params=None, batch_size: int = 50):
+    Without trained weights FID is meaningless, so params=None loads the
+    standard FID Inception checkpoint from the weights dir and FAILS
+    otherwise; pass allow_random=True only for pipeline tests."""
+
+    WEIGHTS_FILENAME = "pt_inception-2015-12-05.pth"
+
+    def __init__(self, params=None, batch_size: int = 50,
+                 allow_random: bool = False):
         from .inception import InceptionV3Features
         self.net = InceptionV3Features()
         if params is None:
-            params = self.net.init_params(jax.random.PRNGKey(0))
+            import os
+            from ..models.zoo import _torch_load_numpy, weights_dir
+            path = os.path.join(weights_dir(), self.WEIGHTS_FILENAME)
+            if os.path.exists(path):
+                from .inception import params_from_torch_state_dict
+                params = params_from_torch_state_dict(
+                    _torch_load_numpy(path))
+            elif allow_random:
+                params = self.net.init_params(jax.random.PRNGKey(0))
+            else:
+                raise FileNotFoundError(
+                    f"FID Inception weights not found at {path}; place "
+                    "the pytorch-fid checkpoint there (or pass "
+                    "allow_random=True for a pipeline smoke test — the "
+                    "resulting numbers are NOT FID).")
         self.params = params
         self.batch_size = batch_size
         self._jitted = jax.jit(self.net.__call__)

@@ -123,10 +123,12 @@ class InceptionV3Features:
 
     def __call__(self, params: Dict, images) -> jnp.ndarray:
         x = jnp.asarray(images, jnp.float32)
-        if x.shape[1] != self.resize_to:
+        if x.shape[1:3] != (self.resize_to, self.resize_to):
+            # plain bilinear (no antialias) to match the reference FID
+            # pipeline's resize semantics
             x = jax.image.resize(
                 x, (x.shape[0], self.resize_to, self.resize_to, 3),
-                method="bilinear")
+                method="bilinear", antialias=False)
         x = _conv(x, params["Conv2d_1a_3x3"], stride=2)
         x = _conv(x, params["Conv2d_2a_3x3"])
         x = _conv(x, params["Conv2d_2b_3x3"], padding=1)

@@ -10,13 +10,7 @@ from typing import Iterable, Sequence
 import numpy as np
 
 
-def _load_seg(path_base: str):
-    if os.path.exists(path_base + ".npz"):
-        return np.load(path_base + ".npz")["seg"]
-    if os.path.exists(path_base + ".pth"):
-        import torch
-        return torch.load(path_base + ".pth", map_location="cpu").numpy()
-    raise FileNotFoundError(path_base + ".{npz,pth}")
+from .segio import load_seg as _load_seg  # noqa: E402  (shared helper)
 
 
 def compute_dl(before: str, after: str, indices: Iterable[int],

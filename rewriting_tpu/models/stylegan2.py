@@ -535,6 +535,9 @@ def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
     params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
     expected_shapes = jax.tree_util.tree_map(lambda x: str(np.shape(x)),
                                              params)
+    # snapshot leaf identities: anything still identical after the loop
+    # was never assigned from the checkpoint
+    init_leaves = jax.tree_util.tree_map(lambda x: x, params)
     for k, v in sd.items():
         v = as_np(v)
         if re.match(r"^style\.\d+\.(weight|bias)$", k):
@@ -586,4 +589,18 @@ def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
         if want != got:
             raise ValueError(f"checkpoint param {name} has shape {got}, "
                              f"model expects {want}")
+    # coverage validation: every learned param must have been assigned
+    # from the checkpoint (the reference load is strict; noise buffers
+    # and latent_avg are legitimately optional, models.py:195-201)
+    missing = [jax.tree_util.keystr(path)
+               for (path, leaf), (_, orig) in zip(
+                   jax.tree_util.tree_leaves_with_path(params),
+                   jax.tree_util.tree_leaves_with_path(init_leaves))
+               if leaf is orig
+               and "latent_avg" not in jax.tree_util.keystr(path)
+               and "noise_" not in jax.tree_util.keystr(path)]
+    if missing:
+        raise ValueError(
+            f"checkpoint is missing {len(missing)} learned params "
+            f"(e.g. {missing[:4]}); refusing a silent partial load")
     return jax.tree_util.tree_map(jnp.asarray, params)

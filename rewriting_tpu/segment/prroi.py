@@ -84,6 +84,9 @@ def prroi_pool_full_image(x, pooled: int):
                                          (i + 1) * w / pooled)
                    for i in range(pooled)]).astype(np.float32)
     area = (h / pooled) * (w / pooled)
-    out = jnp.einsum("oh,nhwc->nowc", jnp.asarray(wy), x)
-    out = jnp.einsum("pw,nowc->nopc", jnp.asarray(wx), out)
+    from ..ops.precision import get_precision
+    out = jnp.einsum("oh,nhwc->nowc", jnp.asarray(wy), x,
+                     precision=get_precision())
+    out = jnp.einsum("pw,nowc->nopc", jnp.asarray(wx), out,
+                     precision=get_precision())
     return out / area

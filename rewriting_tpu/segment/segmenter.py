@@ -81,12 +81,18 @@ class MergedSegmenter(BaseSegmenter):
 
 def _component_masks(seg_batch: np.ndarray):
     """Yield (image_index, component_mask) for connected components of each
-    image's object map (reference segmenter.py component_masks)."""
+    image's object map, separated *per class value* with 8-connectivity
+    (matching the reference's skimage.morphology.label semantics)."""
     import scipy.ndimage
+    eight = np.ones((3, 3), int)
     for i, seg in enumerate(seg_batch):
-        labeled, n = scipy.ndimage.label(seg)
-        for comp in range(1, n + 1):
-            yield i, labeled == comp
+        for value in np.unique(seg):
+            if value == 0:
+                continue
+            labeled, n = scipy.ndimage.label(seg == value,
+                                             structure=eight)
+            for comp in range(1, n + 1):
+                yield i, labeled == comp
 
 
 class UnifiedParsingSegmenter(BaseSegmenter):

@@ -99,6 +99,44 @@ def test_conditional_samples_alignment():
         assert pairs[7].shape[1] == 3 and len(pairs[7]) > 0
 
 
+def test_fid_and_lpips_refuse_random_weights(tmp_path, monkeypatch):
+    """Meaningless-metric guards: default extractors must fail loudly
+    without trained weights instead of returning uncalibrated numbers."""
+    from rewriting_tpu.metrics import distances
+    from rewriting_tpu.metrics.fid import FeatureExtractor
+    monkeypatch.setenv("REWRITING_TPU_WEIGHTS", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        FeatureExtractor()
+    fx = FeatureExtractor(allow_random=True)  # explicit opt-in works
+    assert fx(np.zeros((1, 32, 32, 3), np.float32)).shape == (1, 2048)
+    with pytest.raises(FileNotFoundError):
+        distances.compute_dl("x", "y", "z", [], metric="lpips")
+
+
+def test_checkpoint_coverage_guard(goldens):
+    """A partial checkpoint must be rejected, not silently half-loaded."""
+    from rewriting_tpu.models.stylegan2 import params_from_state_dict
+    g = goldens("stylegan2_tiny")
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2)
+    partial = {k: v for k, v in sd.items() if "dconv" not in k}
+    with pytest.raises(ValueError, match="missing"):
+        params_from_state_dict(model, partial)
+    params_from_state_dict(model, sd)  # complete dict still loads
+
+
+def test_component_masks_separate_classes():
+    """Adjacent regions of different classes must be separate components."""
+    from rewriting_tpu.segment.segmenter import _component_masks
+    seg = np.zeros((1, 8, 8), np.int64)
+    seg[0, :, :4] = 1
+    seg[0, :, 4:] = 2  # touching, different class
+    comps = list(_component_masks(seg))
+    assert len(comps) == 2
+    sizes = sorted(int(m.sum()) for _, m in comps)
+    assert sizes == [32, 32]
+
+
 def test_topk_and_quantile_cache(tmp_path):
     rng = np.random.RandomState(0)
     zds = ZDataset(rng.randn(30, 4).astype(np.float32))
