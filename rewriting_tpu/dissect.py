@@ -88,16 +88,27 @@ def dissect(model, params, layer: str, segmodel, seglabels, outdir: str,
             cachefile=os.path.join(outdir, "topk.npz"))
         vals, idx = (np.asarray(v) for v in topk.result())
         iv = imgviz.ImageVisualizer(128, quantiles=rq)
+        # render each needed sample ONCE (top-k lists share images)
+        needed = sorted({int(i) for row in idx[:, :topk_k] for i in row})
+        cache = {}
+        for lo in pbar.pbar(range(0, len(needed), batch_size),
+                            desc="render topk"):
+            chunk = needed[lo:lo + batch_size]
+            imgs = np.asarray(inst(zds.zs[np.asarray(chunk)]))
+            fmaps = np.asarray(inst.retained_layer(layer)["fmap"])
+            for j, i in enumerate(chunk):
+                cache[i] = (imgs[j], fmaps[j])
         rows = []
         for u in pbar.pbar(range(sample_act.shape[-1]),
                            desc="unit images"):
             cells = []
             for i in idx[u][:topk_k]:
-                img = np.asarray(inst(zds.zs[int(i):int(i) + 1]))[0]
-                acts = np.asarray(
-                    inst.retained_layer(layer)["fmap"])[0][:, :, u]
-                cells.append(iv.masked_image(img, activations=acts,
-                                             percent_level=cutoff))
+                img, fmap = cache[int(i)]
+                # dataset-level per-unit threshold (the rq sketch), not
+                # the single image's own quantile
+                cells.append(iv.masked_image(
+                    img, activations=fmap[:, :, u],
+                    level=float(level[u])))
             rows.append(iv.image_row(cells))
         imgsave.save_image_set(rows, os.path.join(outdir,
                                                   "imgs/unit_%d.png"))

@@ -29,27 +29,36 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-lz",
-                     "-o", _SO + ".tmp"],
-                    check=True, capture_output=True)
-                os.replace(_SO + ".tmp", _SO)
-            except Exception:
-                _build_failed = True
-                return None
-        try:
+        def build():
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-lz",
+                 "-o", _SO + ".tmp"],
+                check=True, capture_output=True)
+            os.replace(_SO + ".tmp", _SO)
+
+        def load():
             lib = ctypes.CDLL(_SO)
             lib.png_encode_rgb8.restype = ctypes.c_long
             lib.png_encode_rgb8.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_long]
-            _lib = lib
-        except OSError:
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+            return lib
+
+        try:
+            if not os.path.exists(_SO) or (
+                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                build()
+            try:
+                _lib = load()
+            except OSError:
+                # stale/foreign binary (different arch/glibc): rebuild
+                # once from source before giving up
+                build()
+                _lib = load()
+        except Exception:
             _build_failed = True
+            return None
     return _lib
 
 

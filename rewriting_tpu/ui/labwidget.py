@@ -159,6 +159,41 @@ _COMM_JS = r"""
 """
 
 
+_WIDGET_REGISTRY: Dict[str, "Widget"] = {}
+_COMM_TARGET_REGISTERED = [False]
+
+
+def _register_comm_target():  # pragma: no cover - requires live kernel
+    """Register the kernel-side 'labwidget' comm target once: the JS
+    runtime opens a comm with {id: view_id}; incoming messages route to
+    the widget's set(..., _from_view=True)."""
+    if _COMM_TARGET_REGISTERED[0]:
+        return
+    try:
+        ip = get_ipython()  # noqa: F821
+        comm_manager = ip.kernel.comm_manager
+    except Exception:
+        return
+
+    def on_open(comm, open_msg):
+        view_id = (open_msg.get("content", {}).get("data", {})
+                   .get("id"))
+        widget = _WIDGET_REGISTRY.get(view_id)
+        if widget is None:
+            return
+        object.__setattr__(widget, "_comm", comm)
+
+        @comm.on_msg
+        def _recv(msg, widget=widget):
+            data = msg.get("content", {}).get("data", {})
+            if "name" in data:
+                widget.set(data["name"], data.get("value"),
+                           _from_view=True)
+
+    comm_manager.register_target("labwidget", on_open)
+    _COMM_TARGET_REGISTERED[0] = True
+
+
 class Widget(Model):
     """A Model with an HTML view."""
 
@@ -167,14 +202,15 @@ class Widget(Model):
         object.__setattr__(self, "_comm", None)
         super().__init__(**kwargs)
         self.style = style or {}
+        _WIDGET_REGISTRY[self._view_id] = self
         self._maybe_register_comm()
 
     def _maybe_register_comm(self):
         try:  # pragma: no cover - requires live kernel
-            from ipykernel.comm import Comm  # noqa
-            get_ipython  # noqa
-        except Exception:
+            get_ipython  # noqa: F821
+        except NameError:
             return
+        _register_comm_target()
 
     def _send_to_view(self, name, value):  # pragma: no cover - live kernel
         if self._comm is not None:
@@ -275,6 +311,12 @@ class Range(Widget):
     def widget_html(self):
         return (f'<input type="range" {self.std_attrs()} '
                 f'value="{self.value}" min="{self.min}" max="{self.max}">')
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("input", function() '
+                f'{{ model.set("value", Number(el.value)); }});'
+                f'model.on("value", function(v) {{ el.value = v; }});')
 
 
 class Choice(Widget):

@@ -64,16 +64,17 @@ class ImageVisualizer:
         return float(a.min()), float(a.max())
 
     def level_for(self, activations, unit=None, percent_level=None):
-        """Threshold level: a quantile of the activation distribution
+        """Threshold level: the dataset-level per-unit quantile when a
+        quantile sketch is attached, else the sample's own quantile
         (reference imgviz.py:211-227)."""
         if percent_level is None:
             percent_level = self.percent_level
-        a = self._unit_acts(activations, unit)
+        if percent_level is None:
+            percent_level = 0.95
         if self.quantiles is not None and unit is not None:
             return float(np.asarray(
                 self.quantiles.quantiles([percent_level]))[unit, 0])
-        if percent_level is None:
-            percent_level = 0.95
+        a = self._unit_acts(activations, unit)
         return float(np.quantile(a, percent_level))
 
     def _unit_acts(self, activations, unit):
@@ -107,10 +108,10 @@ class ImageVisualizer:
 
     def mask_for(self, activations, unit=None, level=None,
                  percent_level=None):
-        a = self._unit_acts(activations, unit)
         if level is None:
             level = (self.default_level if self.default_level is not None
-                     else self.level_for(a, None, percent_level))
+                     else self.level_for(activations, unit, percent_level))
+        a = self._unit_acts(activations, unit)
         up = resize_bilinear(a, self.size)
         return up > level
 

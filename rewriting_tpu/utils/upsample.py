@@ -96,11 +96,15 @@ def upsampler(target_shape, data_shape=None, image_size=None,
                               and data.shape[0] != data_shape[0]):
             return np.stack([up(d) for d in data])
         so = None
-        if scale_offset is not None and image_size is not None:
-            # map from feature grid to image grid, then to target pixels
-            sy = target_shape[0] / image_size[0]
-            sx = target_shape[1] / image_size[1]
+        if scale_offset is not None:
             (s, o) = scale_offset
-            so = ((s * sy, o * sy), (s * sx, o * sx))
+            if image_size is not None:
+                # map feature grid -> image grid -> target pixels
+                sy = target_shape[0] / image_size[0]
+                sx = target_shape[1] / image_size[1]
+                so = ((s * sy, o * sy), (s * sx, o * sx))
+            else:
+                # target IS image space: apply alignment directly
+                so = ((s, o), (s, o))
         return resize_bilinear(data, tuple(target_shape), so)
     return up
