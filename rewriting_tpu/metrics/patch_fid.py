@@ -43,3 +43,38 @@ def patch_fid_sweep(gw_clean, gw_edited, crop_sizes: Sequence[int],
         results[cs] = fid_mod.compute_fid(a, b, feature_fn=feature_fn)
         pbar.print(f"crop {cs}: FID {results[cs]:.3f}")
     return results
+
+
+def main():  # pragma: no cover - CLI (reference fid_patches.sh driver)
+    import argparse
+    import json as _json
+    ap = argparse.ArgumentParser("per-layer patch-FID sweep")
+    ap.add_argument("--mask", required=True,
+                    help="published edit name (load_mask registry)")
+    ap.add_argument("--crops", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32, 64, 128])
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--out", default="results/patch_fid.json")
+    args = ap.parse_args()
+    import json
+    from ..models.zoo import load_seq_stylegan
+    from ..rewrite import SeqStyleGanRewriter
+    from ..utils.zdataset import z_dataset_for_model
+    from .load_mask import load_mask_info
+    mask_path, dataset, layernum = load_mask_info(args.mask)
+    model, params = load_seq_stylegan(dataset, truncation=0.5)
+    zds = z_dataset_for_model(model, 1000)
+    gw_clean = SeqStyleGanRewriter(model, params, zds, layernum)
+    gw_edit = SeqStyleGanRewriter(model, params, zds, layernum)
+    with open(mask_path) as f:
+        gw_edit.apply_edit(json.load(f), rank=1)
+    results = patch_fid_sweep(gw_clean, gw_edit, args.crops, n=args.n)
+    import os
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        _json.dump({str(k): v for k, v in results.items()}, f, indent=1)
+    print(_json.dumps(results))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
