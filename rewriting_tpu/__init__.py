@@ -17,3 +17,19 @@ Deep Generative Model", ECCV 2020) designed for TPU hardware:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import rewriting_tpu` light)
+    if name in ("ProgressiveGenerator", "SeqStyleGAN2"):
+        from . import models
+        return getattr(models, name)
+    if name in ("GanRewriter", "ProgressiveGanRewriter",
+                "SeqStyleGanRewriter", "SeqTinyStyleGanRewriter",
+                "SeqPreStyleGanRewriter"):
+        from . import rewrite
+        return getattr(rewrite, name)
+    if name == "load_seq_stylegan" or name == "load_proggan":
+        from .models import zoo
+        return getattr(zoo, name)
+    raise AttributeError(name)
