@@ -35,6 +35,28 @@ def test_proggan_topology():
     assert m2.resolution == 1024
 
 
+@pytest.mark.slow
+def test_rewriter_boundary_layers(goldens):
+    """The edit window works at layer2 (which uses the 'conv' prefix in the
+    reference naming) and at the last layer."""
+    import jax
+    import numpy as np
+    from rewriting_tpu.models.stylegan2 import params_from_state_dict
+    from rewriting_tpu.rewrite import SeqStyleGanRewriter
+    from rewriting_tpu.utils.zdataset import z_dataset_for_model
+    g = goldens("stylegan2_tiny")
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2)
+    params = params_from_state_dict(model, sd)
+    zds = z_dataset_for_model(model, 10)
+    for layernum in (2, 6):  # first ('conv' prefix) and last layer
+        gw = SeqStyleGanRewriter(model, params, zds, layernum,
+                                 stats_batch_size=5)
+        assert gw.target_weight().ndim == 5
+        out = gw.sample_image_from_latent(gw.get_z(0))
+        assert np.asarray(out).shape == (1, 16, 16, 3)
+
+
 def test_zoo_tables():
     assert set(STYLEGAN2_ZOO) == {"bedroom", "car", "cat", "church",
                                   "faces", "horse", "kitchen", "places"}
