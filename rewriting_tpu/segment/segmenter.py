@@ -275,16 +275,60 @@ class UnifiedParsingSegmenter(BaseSegmenter):
 def load_segmenter(segmenter_name: str = "netpqc", params=None,
                    labeldata: Optional[Dict] = None):
     """(segmenter, label list) — reference utils/segmenter.py:16-41.
-    Flags after 'net': p=parts, q=quad, x=texture(unsupported), c=color
-    (unsupported); e.g. 'netpqc' -> parts + quad."""
+    Flags after 'net': p=all parts, q=quad subdivision, x=texture model,
+    c=color model; e.g. 'netpqc' -> unified parsing with all parts + quad,
+    merged with the color semantic segmenter."""
     assert segmenter_name.startswith("net")
     flags = segmenter_name[3:]
     segdiv = "quad" if "q" in flags else None
+    all_parts = "p" in flags
     if params is None or labeldata is None:
         params, labeldata = _load_released_upp()
-    seg = UnifiedParsingSegmenter(params, labeldata, segdiv=segdiv)
+    segmodels = [UnifiedParsingSegmenter(params, labeldata, segdiv=segdiv,
+                                         all_parts=all_parts)]
+    if "x" in flags:
+        segmodels.append(_load_released_semantic("texture"))
+    if "c" in flags:
+        segmodels.append(_load_released_semantic("color"))
+    seg = segmodels[0] if len(segmodels) == 1 else \
+        MergedSegmenter(segmodels)
     labels, cats = seg.get_label_and_category_names()
     return seg, [label for label, cat in labels]
+
+
+def _load_released_semantic(vocab: str):
+    """Load a released texture/color semantic model
+    ($REWRITING_TPU_WEIGHTS/segmodel/{vocab}-resnet18dilated-ppm_deepsup/
+    with encoder/decoder .pth + labels.json; reference
+    ensure_segmenter_downloaded, segmenter.py:651-669)."""
+    from ..models.zoo import _torch_load_numpy, weights_dir
+    from .semantic import (PPMDecoder, SemanticSegmenter,
+                           resnet18_deepstem_from_torch)
+    base = os.path.join(weights_dir(), "segmodel",
+                        f"{vocab}-resnet18dilated-ppm_deepsup")
+    import glob
+    encs = sorted(glob.glob(os.path.join(base, "encoder_epoch_*.pth")))
+    decs = sorted(glob.glob(os.path.join(base, "decoder_epoch_*.pth")))
+    lab = os.path.join(base, "labels.json")
+    if not (encs and decs and os.path.exists(lab)):
+        raise FileNotFoundError(
+            f"{vocab} semantic model not found under {base}; place "
+            "encoder/decoder epoch .pth and labels.json from the "
+            "netdissect segmodel release there.")
+    with open(lab) as f:
+        meta = json.load(f)
+    label_names = ["-"] + [
+        (l["name"] if isinstance(l, dict) else str(l))
+        for l in meta["labels"]]
+    imageformat = meta.get("imageformat")
+    dec = PPMDecoder(num_class=len(label_names) - 1, fc_dim=512)
+    params = {"encoder": resnet18_deepstem_from_torch(
+        _torch_load_numpy(encs[-1])),
+        "decoder": dec.params_from_torch(_torch_load_numpy(decs[-1]))}
+    return SemanticSegmenter(params, label_names[1:],
+                             arch="resnet18dilated", category=vocab,
+                             imageformat=imageformat,
+                             segsizes=meta.get("segsizes", [256]))
 
 
 def _load_released_upp():

@@ -9,7 +9,7 @@ voting, argmax labels."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +24,25 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _dilated_bottleneck(p: Dict, x, stride: int, dilation: int):
+def _layer_dilations(dilate_scale: int):
+    """Per-layer 'dilate' factors and strides matching the reference's
+    _nostride_dilate conversion (segmodel models.py:209-270): in a dilated
+    layer the formerly-strided conv gets dilation dilate//2 while every
+    other 3x3 conv gets the full dilate."""
+    if dilate_scale == 8:
+        return [1, 1, 2, 4], [1, 2, 1, 1]
+    if dilate_scale == 16:
+        return [1, 1, 1, 2], [1, 2, 2, 1]
+    return [1, 1, 1, 1], [1, 2, 2, 2]
+
+
+def _dilated_bottleneck(p: Dict, x, stride: int, dilate: int,
+                        first_block: bool):
+    # conv2 is the (formerly) strided 3x3
+    d_strided = max(dilate // 2, 1) if first_block else dilate
     out = conv(x, p["conv1"], relu=True)
-    out = conv(out, p["conv2"], stride=stride, padding=dilation,
-               dilation=dilation, relu=True)
+    out = conv(out, p["conv2"], stride=stride, padding=d_strided,
+               dilation=d_strided, relu=True)
     out = conv(out, p["conv3"])
     res = conv(x, p["downsample"], stride=stride) if "downsample" in p \
         else x
@@ -43,23 +58,93 @@ def resnet50_dilated_features(params: Dict, x, dilate_scale: int = 8
     x = conv(x, params["conv2"], padding=1, relu=True)
     x = conv(x, params["conv3"], padding=1, relu=True)
     x = maxpool(x)
-    if dilate_scale == 8:
-        dilations = [1, 1, 2, 4]
-        strides = [1, 2, 1, 1]
-    elif dilate_scale == 16:
-        dilations = [1, 1, 1, 2]
-        strides = [1, 2, 2, 1]
-    else:
-        dilations = [1, 1, 1, 1]
-        strides = [1, 2, 2, 2]
+    dilations, strides = _layer_dilations(dilate_scale)
     outs = []
     for li, nblocks in enumerate(R50_LAYERS):
         for bi in range(nblocks):
             stride = strides[li] if bi == 0 else 1
             x = _dilated_bottleneck(params[f"layer{li + 1}"][bi], x,
-                                    stride, dilations[li])
+                                    stride, dilations[li], bi == 0)
         outs.append(x)
     return outs
+
+
+def _dilated_basic_block(p: Dict, x, stride: int, dilate: int,
+                         first_block: bool):
+    # conv1 is the (formerly) strided 3x3 of a BasicBlock
+    d1 = max(dilate // 2, 1) if first_block else dilate
+    out = conv(x, p["conv1"], stride=stride, padding=d1, dilation=d1,
+               relu=True)
+    out = conv(out, p["conv2"], padding=dilate, dilation=dilate)
+    res = conv(x, p["downsample"], stride=stride) if "downsample" in p \
+        else x
+    return jax.nn.relu(out + res)
+
+
+def resnet18_dilated_features(params: Dict, x, dilate_scale: int = 8
+                              ) -> List:
+    """CSAIL deep-stem resnet18 (BasicBlocks), dilated — the encoder of
+    the texture/color semantic models (segarch 'resnet18dilated',
+    reference segmenter.py:28-34)."""
+    from .resnet import R18_LAYERS
+    x = conv(x, params["conv1"], stride=2, padding=1, relu=True)
+    x = conv(x, params["conv2"], padding=1, relu=True)
+    x = conv(x, params["conv3"], padding=1, relu=True)
+    x = maxpool(x)
+    dilations, strides = _layer_dilations(dilate_scale)
+    outs = []
+    for li, nblocks in enumerate(R18_LAYERS):
+        for bi in range(nblocks):
+            stride = strides[li] if bi == 0 else 1
+            x = _dilated_basic_block(params[f"layer{li + 1}"][bi], x,
+                                     stride, dilations[li], bi == 0)
+        outs.append(x)
+    return outs
+
+
+def init_resnet18_deepstem(key) -> Dict:
+    """Random init for the CSAIL deep-stem resnet18."""
+    from .resnet import R18_LAYERS, R18_PLANES
+    params: Dict = {}
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    params["conv1"] = init_conv(k1, 64, 3, 3)
+    params["conv2"] = init_conv(k2, 64, 64, 3)
+    params["conv3"] = init_conv(k3, 128, 64, 3)
+    in_c = 128
+    for li, (nblocks, planes) in enumerate(zip(R18_LAYERS, R18_PLANES)):
+        blocks = []
+        for bi in range(nblocks):
+            key, ka, kb, kd = jax.random.split(key, 4)
+            p = {"conv1": init_conv(ka, planes, in_c, 3),
+                 "conv2": init_conv(kb, planes, planes, 3)}
+            if bi == 0 and (li > 0 or in_c != planes):
+                p["downsample"] = init_conv(kd, planes, in_c, 1)
+            blocks.append(p)
+            in_c = planes
+        params[f"layer{li + 1}"] = blocks
+    return params
+
+
+def resnet18_deepstem_from_torch(sd: Dict, prefix: str = "") -> Dict:
+    from .resnet import R18_LAYERS
+    p = prefix
+    params: Dict = {
+        "conv1": fold_bn(sd, p + "conv1", p + "bn1"),
+        "conv2": fold_bn(sd, p + "conv2", p + "bn2"),
+        "conv3": fold_bn(sd, p + "conv3", p + "bn3"),
+    }
+    for li, nblocks in enumerate(R18_LAYERS):
+        blocks = []
+        for bi in range(nblocks):
+            base = f"{p}layer{li + 1}.{bi}."
+            blk = {"conv1": fold_bn(sd, base + "conv1", base + "bn1"),
+                   "conv2": fold_bn(sd, base + "conv2", base + "bn2")}
+            if base + "downsample.0.weight" in sd:
+                blk["downsample"] = fold_bn(sd, base + "downsample.0",
+                                            base + "downsample.1")
+            blocks.append(blk)
+        params[f"layer{li + 1}"] = blocks
+    return params
 
 
 class PPMDecoder:
@@ -128,37 +213,66 @@ class C1Decoder:
 
 class SemanticSegmenter:
     """Single-category semantic segmenter (reference SemanticSegmenter,
-    utils/segmenter.py:392): imagenet-normalized input, multi-resolution
-    softmax voting, argmax labels in channel 0."""
+    utils/segmenter.py:392): normalized input (imageformat-driven, like
+    the reference's model meta), multi-resolution softmax voting, argmax
+    labels in channel 0.
+
+    arch: 'resnet50dilated' (default) or 'resnet18dilated' (the
+    texture/color models); category names what the vocab describes."""
 
     def __init__(self, params: Dict, labels: Sequence[str],
-                 decoder="ppm", segsizes=None, dilate_scale: int = 8):
+                 decoder="ppm", segsizes=None, dilate_scale: int = 8,
+                 arch: str = "resnet50dilated", category: str = "object",
+                 imageformat: Optional[Dict] = None):
         self.labels = list(labels)
         self.segsizes = segsizes or [256]
         self.dilate_scale = dilate_scale
+        self.arch = arch
+        self.category = category
+        fc_dim = 2048 if arch == "resnet50dilated" else 512
         dec_cls = {"ppm": PPMDecoder, "c1": C1Decoder}[decoder]
-        self.decoder = dec_cls(num_class=len(self.labels))
+        self.decoder = dec_cls(num_class=len(self.labels), fc_dim=fc_dim)
+        # imageformat: {'byteorder': 'RGB'|'BGR', 'mean': [...],
+        #               'scale'/'stdev': [...]} on [0,1] inputs
+        # (reference reads this from the model's labels.json meta)
+        self.imageformat = imageformat or {
+            "byteorder": "RGB", "mean": list(IMAGENET_MEAN),
+            "stdev": list(IMAGENET_STD)}
+        if params is None:  # random init (shape/pipeline tests)
+            params = self.init_params(jax.random.PRNGKey(0))
         self.params = params
         self._jit = jax.jit(self._forward, static_argnames=("seg_size",))
 
     def _forward(self, params, x, seg_size):
-        feats = resnet50_dilated_features(params["encoder"], x,
-                                          self.dilate_scale)
+        if self.arch == "resnet18dilated":
+            feats = resnet18_dilated_features(params["encoder"], x,
+                                              self.dilate_scale)
+        else:
+            feats = resnet50_dilated_features(params["encoder"], x,
+                                              self.dilate_scale)
         return self.decoder(params["decoder"], feats, seg_size=seg_size)
 
     def init_params(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
-        return {"encoder": init_resnet50(k1),
-                "decoder": self.decoder.init_params(k2)}
+        enc = (init_resnet18_deepstem(k1)
+               if self.arch == "resnet18dilated" else init_resnet50(k1))
+        return {"encoder": enc, "decoder": self.decoder.init_params(k2)}
 
     def get_label_and_category_names(self):
-        return [(label, "object") for label in self.labels], ["object"]
+        return ([(label, self.category) for label in self.labels],
+                [self.category])
 
     def raw_seg_prediction(self, images, downsample: int = 1):
         x = jnp.asarray(images, jnp.float32)
         h, w = x.shape[1:3]
-        # zc -> [0,1] -> imagenet normalization
-        x = ((x + 1.0) / 2.0 - IMAGENET_MEAN) / IMAGENET_STD
+        # zc -> [0,1] -> model-meta normalization
+        mean = np.asarray(self.imageformat["mean"], np.float32)
+        std = np.asarray(self.imageformat.get(
+            "stdev", self.imageformat.get("scale", [1, 1, 1])), np.float32)
+        x = (x + 1.0) / 2.0
+        if self.imageformat.get("byteorder", "RGB") == "BGR":
+            x = x[..., ::-1]
+        x = (x - mean) / std
         seg_shape = (h // downsample, w // downsample)
         pred = 0.0
         for s in self.segsizes:

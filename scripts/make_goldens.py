@@ -400,7 +400,50 @@ def make_vgg_golden():
     print("vgg16 taps:", list(taps))
 
 
+# ---------------------------------------------------------------------------
+# Dilated resnet goldens (the semantic-segmenter encoders)
+# ---------------------------------------------------------------------------
+
+def make_dilated_resnet_golden():
+    import types as _t
+    pkg = _t.ModuleType("refsg")
+    pkg.__path__ = [str(REF / "utils" / "segmodel")]
+    sys.modules["refsg"] = pkg
+    for sub in ["resnet", "resnext", "mobilenet"]:
+        path = REF / "utils" / "segmodel" / f"{sub}.py"
+        if not path.exists():
+            continue
+        spec = importlib.util.spec_from_file_location(f"refsg.{sub}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refsg.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "refsg.models", REF / "utils" / "segmodel" / "models.py")
+    models = importlib.util.module_from_spec(spec)
+    sys.modules["refsg.models"] = models
+    spec.loader.exec_module(models)
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    data = {"x": x}
+    for name, builder in [("r18", sys.modules["refsg.resnet"].resnet18),
+                          ("r50", sys.modules["refsg.resnet"].resnet50)]:
+        torch.manual_seed(0)
+        orig = builder(pretrained=False)
+        net = models.ResnetDilated(orig, dilate_scale=8)
+        net.eval()
+        with torch.no_grad():
+            feats = net(torch.from_numpy(x), return_feature_maps=True)
+        for k, v in sd_to_np(net.state_dict()).items():
+            data[f"{name}.sd.{k}"] = v
+        for i, f in enumerate(feats):
+            data[f"{name}.feat_{i}"] = f.numpy()
+    np.savez(OUT / "dilated_resnet.npz", **data)
+    print("dilated resnet goldens:", [k for k in data if "feat_3" in k])
+
+
 if __name__ == "__main__":
+    make_dilated_resnet_golden()
     make_vgg_golden()
     make_upfirdn_golden()
     make_proggan_golden()

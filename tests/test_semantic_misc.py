@@ -28,16 +28,57 @@ def test_dilated_resnet_output_stride():
 
 
 @pytest.mark.slow
+def test_dilated_resnet_parity(goldens):
+    """Both dilated encoders match the reference's ResnetDilated exactly
+    (incl. the dilate//2 rule on the formerly-strided conv)."""
+    import jax.numpy as jnp
+    from rewriting_tpu.segment.resnet import resnet50_from_torch
+    from rewriting_tpu.segment.semantic import (
+        resnet18_deepstem_from_torch, resnet18_dilated_features,
+        resnet50_dilated_features)
+    g = goldens("dilated_resnet")
+    x = np.transpose(g["x"], (0, 2, 3, 1))
+    for name, conv, feats_fn in [
+            ("r18", resnet18_deepstem_from_torch,
+             resnet18_dilated_features),
+            ("r50", resnet50_from_torch, resnet50_dilated_features)]:
+        sd = {k[len(name) + 4:]: g[k] for k in g.files
+              if k.startswith(f"{name}.sd.")}
+        params = conv(sd)
+        feats = feats_fn(params, jnp.asarray(x), dilate_scale=8)
+        for i in range(4):
+            ref = g[f"{name}.feat_{i}"]
+            scale = max(np.abs(ref).max(), 1e-6)
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(feats[i]), (0, 3, 1, 2)) / scale,
+                ref / scale, atol=2e-5,
+                err_msg=f"{name} feat_{i}")
+
+
+def test_load_segmenter_flags():
+    """Flag parsing: x/c demand the semantic checkpoints (clear error
+    offline); plain 'netq' builds without parts."""
+    from rewriting_tpu.segment import load_segmenter
+    from rewriting_tpu.segment.upernet import UPerNet
+    labeldata = {"object": ["-", "a", "b"], "part": ["-", "p"],
+                 "material": ["-", "m"], "scene": ["-", "s"],
+                 "object_part": {"a": ["p"]}}
+    object_part = {1: [1]}
+    net = UPerNet({"object": 3, "part": 1, "material": 2, "scene": 2},
+                  [1], object_part)
+    import jax
+    params = net.init_params(jax.random.PRNGKey(0))
+    seg, labels = load_segmenter("netq", params=params,
+                                 labeldata=labeldata)
+    assert seg.segdiv == "quad"
+    with pytest.raises(FileNotFoundError, match="color"):
+        load_segmenter("netqc", params=params, labeldata=labeldata)
+
+
+@pytest.mark.slow
 def test_semantic_segmenter():
     labels = ["-", "sky", "building", "tree", "grass"]
-    seg = SemanticSegmenter.__new__(SemanticSegmenter)
-    seg.labels = labels
-    seg.segsizes = [64]
-    seg.dilate_scale = 8
-    seg.decoder = PPMDecoder(num_class=len(labels))
-    seg.params = None
-    seg._jit = jax.jit(seg._forward, static_argnames=("seg_size",))
-    seg.params = seg.init_params(jax.random.PRNGKey(0))
+    seg = SemanticSegmenter(None, labels, segsizes=[64])
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
                            minval=-1, maxval=1)
     out = seg.segment_batch(x)
