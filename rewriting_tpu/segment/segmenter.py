@@ -36,7 +36,7 @@ class BaseSegmenter:
 
 
 class NoSegmenter(BaseSegmenter):
-    """(reference segmenter.py:116)"""
+    """(reference segmenter.py:116-147)"""
 
     def get_label_and_category_names(self):
         return [("-", "-")], ["-"]
@@ -46,10 +46,18 @@ class NoSegmenter(BaseSegmenter):
         return np.zeros((x.shape[0], 1, x.shape[1] // downsample,
                          x.shape[2] // downsample), np.int64)
 
+    def predict_single_class(self, tensor_images, classnum, downsample=1):
+        x = np.asarray(tensor_images)
+        shape = (x.shape[0], x.shape[1] // downsample,
+                 x.shape[2] // downsample)
+        return np.zeros(shape, np.float32), np.zeros(shape, bool)
+
 
 class MergedSegmenter(BaseSegmenter):
     """Concatenate several segmenters' channels with offset label spaces
-    (reference segmenter.py:82-114)."""
+    (reference segmenter.py:82-113: each component's labels are appended
+    verbatim and its label values shifted by the cumulative offset —
+    including its background channel, matching the reference exactly)."""
 
     def __init__(self, component_segmenters: Sequence[BaseSegmenter]):
         self.segmenters = list(component_segmenters)
@@ -57,10 +65,8 @@ class MergedSegmenter(BaseSegmenter):
         self.cats = []
         self.offsets = []
         for seg in self.segmenters:
-            labels, cats = seg.get_label_and_category_names()
             self.offsets.append(len(self.labels))
-            if self.labels:
-                labels = labels[1:]  # drop duplicate background
+            labels, cats = seg.get_label_and_category_names()
             self.labels.extend(labels)
             for c in cats:
                 if c not in self.cats:
@@ -73,10 +79,21 @@ class MergedSegmenter(BaseSegmenter):
         outs = []
         for off, seg in zip(self.offsets, self.segmenters):
             s = np.asarray(seg.segment_batch(tensor_images, downsample))
-            if off:
-                s = np.where(s > 0, s + off - 1, 0)
-            outs.append(s)
+            outs.append(s + off)
         return np.concatenate(outs, axis=1)
+
+    def predict_single_class(self, tensor_images, classnum, downsample=1):
+        """Route a merged class number to the owning component
+        (reference segmenter.py:107-113)."""
+        seg = self.segmenters[-1]
+        for i, s in enumerate(self.segmenters):
+            if i + 1 == len(self.offsets) or \
+                    classnum < self.offsets[i + 1]:
+                seg = s
+                classnum -= self.offsets[i]
+                break
+        return seg.predict_single_class(tensor_images, classnum,
+                                        downsample=downsample)
 
 
 def _component_masks(seg_batch: np.ndarray):

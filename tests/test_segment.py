@@ -208,3 +208,10 @@ def test_no_and_merged_segmenter():
     m = MergedSegmenter([a, a])
     out = m.segment_batch(x)
     assert out.shape == (2, 2, 16, 16)
+    # reference semantics: each component's values are shifted by the
+    # cumulative label offset (second NoSegmenter's zeros become 1)
+    assert out[:, 0].max() == 0 and (out[:, 1] == 1).all()
+    labels, cats = m.get_label_and_category_names()
+    assert len(labels) == 2
+    score, mask = m.predict_single_class(x, 1)
+    assert score.shape[0] == 2
