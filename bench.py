@@ -163,6 +163,9 @@ def main():
         "edit_iters": edit_iters,
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},
+        "note": "baseline normalization: 5000 img/s on v5p-8 == 625/chip "
+                "on chips ~2.3x faster than this one; 'high' is the "
+                "fp32-tolerance parity mode (2e-4 vs torch golden)",
     }))
 
 
