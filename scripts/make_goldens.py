@@ -82,11 +82,7 @@ class FusedLeakyReLU(nn.Module):
                                 self.scale)
 
 
-def _load_module(name, path, package_path=None):
-    if package_path is not None:
-        pkg = types.ModuleType(name.rsplit(".", 1)[0])
-        pkg.__path__ = [str(package_path)]
-        sys.modules[pkg.__name__] = pkg
+def _load_module(name, path):
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
@@ -244,7 +240,6 @@ def make_bisenet_golden():
     # avoid downloading imagenet weights in Resnet18.init_weight
     resnet_mod.modelzoo.load_url = lambda url: (_ for _ in ()).throw(
         RuntimeError("no net"))
-    orig_init = resnet_mod.Resnet18.init_weight
     resnet_mod.Resnet18.init_weight = lambda self: None
     model_mod = _load_module("fp_model",
                              REF / "metrics/face-parsing.PyTorch/model.py")
@@ -301,7 +296,6 @@ class _NumericalPrRoIPool2D(nn.Module):
                                      steps)
                     wx = np.maximum(0, 1 - np.abs(
                         xs[:, None] - np.arange(w)[None]))  # (steps, w)
-                    vals = np.einsum("sh,chw,tw->st", wy, f[bi], wx)
                     out[r, :, py, px] = np.einsum(
                         "sh,chw,tw->c", wy, f[bi], wx) / (steps * steps)
         return torch.from_numpy(out)

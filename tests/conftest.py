@@ -35,3 +35,9 @@ def goldens():
                         f"(run scripts/make_goldens.py)")
         return np.load(path, allow_pickle=False)
     return load
+
+
+def blob(h, w, cy, cx, r):
+    """Circular test mask used across the rewriting tests."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)

@@ -8,11 +8,9 @@ from rewriting_tpu.models import SeqStyleGAN2
 from rewriting_tpu.stats import tally
 from rewriting_tpu.utils.renormalize import mask_to_url
 from rewriting_tpu.utils.zdataset import ZDataset, z_dataset_for_model
+from conftest import blob
 
 
-def blob(h, w, cy, cx, r):
-    yy, xx = np.mgrid[0:h, 0:w]
-    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
 
 
 def _tiny_stylegan(goldens):

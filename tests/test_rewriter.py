@@ -15,11 +15,9 @@ from rewriting_tpu.rewrite import (ProgressiveGanRewriter,
 from rewriting_tpu.rewrite.solve import solve_spd
 from rewriting_tpu.utils.renormalize import mask_to_url, mask_from_url
 from rewriting_tpu.utils.zdataset import z_dataset_for_model
+from conftest import blob as blob_mask
 
 
-def blob_mask(h, w, cy, cx, r):
-    yy, xx = np.mgrid[0:h, 0:w]
-    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
 
 
 @pytest.fixture(scope="module")

@@ -14,11 +14,9 @@ from rewriting_tpu.ui import (Button, Div, GanRewriteApp, Image, Label,
                               Trigger, Widget)
 from rewriting_tpu.utils.renormalize import mask_to_url
 from rewriting_tpu.utils.zdataset import z_dataset_for_model
+from conftest import blob
 
 
-def blob(h, w, cy, cx, r):
-    yy, xx = np.mgrid[0:h, 0:w]
-    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

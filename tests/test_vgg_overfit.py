@@ -11,6 +11,7 @@ from rewriting_tpu.models import ProgressiveGenerator
 from rewriting_tpu.rewrite import ProgressiveGanRewriter
 from rewriting_tpu.utils.renormalize import mask_to_url
 from rewriting_tpu.utils.zdataset import z_dataset_for_model
+from conftest import blob
 
 
 def test_vgg16_tap_parity(goldens):
@@ -26,9 +27,6 @@ def test_vgg16_tap_parity(goldens):
                                    rtol=1e-3, err_msg=name)
 
 
-def blob(h, w, cy, cx, r):
-    yy, xx = np.mgrid[0:h, 0:w]
-    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
 
 
 @pytest.mark.slow
