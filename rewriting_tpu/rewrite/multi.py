@@ -49,8 +49,6 @@ def batch_apply_edits(gw, requests: Sequence[dict], rank: int = 1,
     request (gw.params is left untouched — callers pick which edit to
     commit via gw.set_target_weight or keep all for serving)."""
     parts = gw.fast_parts_cached()
-    assert parts is not None, "model family lacks a fast decomposition"
-    conv_fn, tail_fn, scale, use_demod = parts
     goals = build_goals(gw, requests, rank=rank)
 
     # stack goal bags (uniform shapes; shared keys like noise buffers are
@@ -69,11 +67,26 @@ def batch_apply_edits(gw, requests: Sequence[dict], rank: int = 1,
     directions = jnp.asarray(np.stack([np.asarray(g[2]) for g in goals]))
     w0 = gw.target_weight()
 
-    def one(bag, goal_out, direction):
-        w, losses = solve._fast_linear_scan(
-            conv_fn, tail_fn, (DataBag(bag), gw.params), goal_out, w0,
-            direction, scale, niter, lr, use_demod)
-        return w, losses[-1]
+    if parts is not None:
+        conv_fn, tail_fn, scale, use_demod = parts
+
+        def one(bag, goal_out, direction):
+            w, losses = solve._fast_linear_scan(
+                conv_fn, tail_fn, (DataBag(bag), gw.params), goal_out, w0,
+                direction, scale, niter, lr, use_demod)
+            return w, losses[-1]
+    else:
+        # generic fallback for window families without a fast low-rank
+        # decomposition (e.g. SeqPre, whose window starts at adain): vmap
+        # the plain Lambda-parameterized linear solve over the edit axis —
+        # same math, just without the hoisted constant conv
+        window_fn = gw._window_fn
+
+        def one(bag, goal_out, direction):
+            w, losses = solve._linear_insert_scan(
+                window_fn, w0, (DataBag(bag), gw.params), goal_out,
+                direction, niter, lr)
+            return w, losses[-1]
 
     vsolve = jax.vmap(one, in_axes=(in_axes_bag, 0, 0))
     if mesh is not None:

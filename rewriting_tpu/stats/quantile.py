@@ -5,23 +5,54 @@ multi-level sorted buffers and random-offset downsampling (reference:
 utils/runningstats.py:269-620).  This is a from-scratch implementation of
 the same idea shaped for the TPU execution model:
 
-- All buffers have *static* shapes (units, capacity); fill levels are
-  host-side integers, so every device op (sort / concat / gather) compiles
-  once per fill configuration.  Compaction is a device sort + strided gather.
+- Level buffers are *device* arrays with static shapes (units, capacity).
+  Ingest is a jitted ``lax.dynamic_update_slice`` write; compaction is a
+  jitted device ``jnp.sort`` + strided slice.  Incoming batches never
+  synchronize to host.
+- Fill counters are host-side integers.  They are data-INdependent (the
+  compaction cadence depends only on element counts), so for a fixed batch
+  size the fill sequence cycles through a small set of configurations and
+  every device op compiles once per configuration.
 - The summary query side (``quantiles``, ``normalize``, ``integrate``) runs
   on host numpy — it is called once per statistic, not per batch.
 
 Guarantees mirrored from the reference self-test (runningstats.py:1205-1283):
-exact min/max, and quantile estimates within a small relative rank error for
-adversarially ordered streams (validated in tests/test_stats.py).
+exact min/max, and quantile estimates within ~1/1000-ile rank error for
+adversarially ordered streams (validated in tests/test_stats.py with a
+0.2% bound at the default resolution).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+
+@jax.jit
+def _extremes_update(extremes, x):
+    """extremes (units, 2); x (units, n) -> updated extremes."""
+    return jnp.stack([jnp.minimum(extremes[:, 0], x.min(axis=1)),
+                      jnp.maximum(extremes[:, 1], x.max(axis=1))], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("fill",))
+def _write(buf, chunk, fill: int):
+    """Write chunk (units, take) into buf (units, cap) at column `fill`."""
+    return lax.dynamic_update_slice(buf, chunk, (0, fill))
+
+
+@functools.partial(jax.jit, static_argnames=("offset",))
+def _compact_full(buf, offset: int):
+    """Sort a full buffer and keep every other element starting at the
+    random offset (weights double one level up). buf (units, cap) with cap
+    even -> survivors (units, cap // 2)."""
+    s = jnp.sort(buf, axis=1)
+    return s[:, offset::2]
 
 
 class RunningQuantile:
@@ -32,14 +63,15 @@ class RunningQuantile:
         self.resolution = int(resolution)
         # level capacity: power-of-two chunk of the resolution budget
         self.cap = max(32, int(resolution) // 2)
+        assert self.cap % 2 == 0
         self.rng = np.random.RandomState(seed)
         self.units: Optional[int] = None
         self.count = 0.0
         self.batchcount = 0
-        # levels[i]: numpy (units, cap) sorted-insertion buffer; fill[i] int
-        self.levels: List[np.ndarray] = []
+        # levels[i]: device (units, cap) buffer; fill[i] host int
+        self.levels: List[jnp.ndarray] = []
         self.fill: List[int] = []
-        self.extremes: Optional[np.ndarray] = None  # (units, 2) min/max
+        self.extremes: Optional[jnp.ndarray] = None  # (units, 2) min/max
         if state is not None:
             self.set_state_dict(state)
 
@@ -47,22 +79,23 @@ class RunningQuantile:
     def _ensure(self, units: int):
         if self.units is None:
             self.units = units
-            self.levels = [np.empty((units, self.cap), np.float32)]
+            self.levels = [jnp.zeros((units, self.cap), jnp.float32)]
             self.fill = [0]
-            self.extremes = np.stack(
-                [np.full(units, np.inf, np.float32),
-                 np.full(units, -np.inf, np.float32)], axis=1)
+            self.extremes = jnp.stack(
+                [jnp.full((units,), jnp.inf, jnp.float32),
+                 jnp.full((units,), -jnp.inf, jnp.float32)], axis=1)
         assert units == self.units, (units, self.units)
 
     def add(self, batch):
-        """batch (N, units) — device or host array."""
-        batch = np.asarray(batch, dtype=np.float32)
+        """batch (N, units) — stays on device; no host math."""
+        batch = jnp.asarray(batch)
+        if batch.dtype != jnp.float32:
+            batch = batch.astype(jnp.float32)
         if batch.ndim == 1:
             batch = batch[:, None]
         self._ensure(batch.shape[1])
         x = batch.T  # (units, N)
-        self.extremes[:, 0] = np.minimum(self.extremes[:, 0], x.min(axis=1))
-        self.extremes[:, 1] = np.maximum(self.extremes[:, 1], x.max(axis=1))
+        self.extremes = _extremes_update(self.extremes, x)
         self.count += batch.shape[0]
         self.batchcount += 1
         n = x.shape[1]
@@ -73,39 +106,42 @@ class RunningQuantile:
                 self._compact(0)
                 space = self.cap - self.fill[0]
             take = min(space, n - pos)
-            self.levels[0][:, self.fill[0]:self.fill[0] + take] = (
-                x[:, pos:pos + take])
+            self.levels[0] = _write(self.levels[0],
+                                    lax.slice(x, (0, pos), (x.shape[0],
+                                                            pos + take)),
+                                    self.fill[0])
             self.fill[0] += take
             pos += take
 
     def _compact(self, level: int):
-        """Sort the full level buffer, keep every other element (random
-        offset), push the survivors (weight doubled) one level up."""
+        """Device sort + strided slice; survivors (weight doubled) move one
+        level up. Fill bookkeeping stays on host."""
         assert self.fill[level] == self.cap
-        buf = np.sort(self.levels[level][:, :self.cap], axis=1)
-        offset = int(self.rng.randint(2))
-        survivors = buf[:, offset::2]             # (units, cap // 2)
+        survivors = _compact_full(self.levels[level],
+                                  int(self.rng.randint(2)))
         self.fill[level] = 0
         if level + 1 == len(self.levels):
-            self.levels.append(np.empty((self.units, self.cap), np.float32))
+            self.levels.append(jnp.zeros((self.units, self.cap),
+                                         jnp.float32))
             self.fill.append(0)
         if self.cap - self.fill[level + 1] < survivors.shape[1]:
             self._compact(level + 1)
-        f = self.fill[level + 1]
-        self.levels[level + 1][:, f:f + survivors.shape[1]] = survivors
+        self.levels[level + 1] = _write(self.levels[level + 1], survivors,
+                                        self.fill[level + 1])
         self.fill[level + 1] += survivors.shape[1]
 
     # -- summary ------------------------------------------------------------
     def _summary(self):
-        """(values (units, M) sorted, weights (M,)) merged across levels."""
+        """(values (units, M) sorted, weights (units, M)) merged across
+        levels — host numpy; called once per statistic, not per batch."""
         vals, weights = [], []
         for lvl, (buf, f) in enumerate(zip(self.levels, self.fill)):
             if f > 0:
-                vals.append(buf[:, :f])
+                vals.append(np.asarray(buf[:, :f]))
                 weights.append(np.full(f, 2.0 ** lvl, np.float32))
         if not vals:
             z = np.zeros((self.units or 1, 1), np.float32)
-            return z, np.ones(1, np.float32)
+            return z, np.ones((self.units or 1, 1), np.float32)
         v = np.concatenate(vals, axis=1)
         w = np.concatenate(weights)
         order = np.argsort(v, axis=1)
@@ -113,13 +149,15 @@ class RunningQuantile:
         w = w[order]  # (units, M)
         return v, w
 
+    def _np_extremes(self):
+        return np.asarray(self.extremes)
+
     def quantiles(self, qs):
         """Per-unit quantile estimates; qs scalar or array in [0,1].
         Returns (units, len(qs)). Endpoints are the exact extremes."""
         qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
         v, w = self._summary()
-        if w.ndim == 1:
-            w = np.broadcast_to(w[None, :], v.shape)
+        extremes = self._np_extremes()
         cum = np.cumsum(w, axis=1)
         total = cum[:, -1:]
         # midpoint rank positions of each summary sample
@@ -127,11 +165,11 @@ class RunningQuantile:
         out = np.empty((v.shape[0], len(qs)), np.float32)
         for u in range(v.shape[0]):
             out[u] = np.interp(qs, positions[u], v[u],
-                               left=self.extremes[u, 0],
-                               right=self.extremes[u, 1])
+                               left=extremes[u, 0],
+                               right=extremes[u, 1])
         # exact endpoints
-        out[:, qs <= 0.0] = self.extremes[:, :1]
-        out[:, qs >= 1.0] = self.extremes[:, 1:]
+        out[:, qs <= 0.0] = extremes[:, :1]
+        out[:, qs >= 1.0] = extremes[:, 1:]
         return jnp.asarray(out)
 
     def normalize(self, values):
@@ -142,8 +180,6 @@ class RunningQuantile:
         if squeeze:
             values = values[:, None]
         v, w = self._summary()
-        if w.ndim == 1:
-            w = np.broadcast_to(w[None, :], v.shape)
         cum = np.cumsum(w, axis=1)
         total = cum[:, -1]
         out = np.empty_like(values)
@@ -158,21 +194,17 @@ class RunningQuantile:
         """Weighted integral sum_i w_i * fun(v_i) per unit
         (reference runningstats.py:575-589)."""
         v, w = self._summary()
-        if w.ndim == 1:
-            w = np.broadcast_to(w[None, :], v.shape)
         return jnp.asarray(np.sum(np.asarray(fun(v)) * w, axis=1))
 
     def mean(self):
         v, w = self._summary()
-        if w.ndim == 1:
-            w = np.broadcast_to(w[None, :], v.shape)
         return jnp.asarray(np.sum(v * w, axis=1) / np.sum(w, axis=1))
 
     def min(self):
-        return jnp.asarray(self.extremes[:, 0])
+        return jnp.asarray(self._np_extremes()[:, 0])
 
     def max(self):
-        return jnp.asarray(self.extremes[:, 1])
+        return jnp.asarray(self._np_extremes()[:, 1])
 
     @property
     def size(self):
@@ -187,10 +219,11 @@ class RunningQuantile:
              "batchcount": np.array(self.batchcount),
              "units": np.array(self.units if self.units else 0),
              "fill": np.array(self.fill, np.int64),
-             "extremes": (self.extremes if self.extremes is not None
+             "extremes": (self._np_extremes()
+                          if self.extremes is not None
                           else np.zeros((0, 2), np.float32))}
         for i, (buf, f) in enumerate(zip(self.levels, self.fill)):
-            d[f"level_{i}"] = buf[:, :f].copy()
+            d[f"level_{i}"] = np.asarray(buf[:, :f])
         return d
 
     def set_state_dict(self, d):
@@ -201,9 +234,9 @@ class RunningQuantile:
         units = int(d["units"])
         self.units = units if units else None
         self.fill = [int(f) for f in d["fill"]]
-        self.extremes = np.asarray(d["extremes"], np.float32)
+        self.extremes = jnp.asarray(np.asarray(d["extremes"], np.float32))
         self.levels = []
         for i, f in enumerate(self.fill):
-            buf = np.empty((units, self.cap), np.float32)
+            buf = np.zeros((units, self.cap), np.float32)
             buf[:, :f] = np.asarray(d[f"level_{i}"], np.float32)
-            self.levels.append(buf)
+            self.levels.append(jnp.asarray(buf))

@@ -203,6 +203,29 @@ def tally_cat(compute, zds, batch_size=10, cachefile=None):
     return jnp.asarray(result)
 
 
+def tally_cat_dict(compute, zds, batch_size=10, cachefile=None):
+    """Concatenate dict-of-tensors compute outputs over the dataset
+    (reference tally.py:349-377): compute returns {key: rows} per batch;
+    results concatenate per key along the first axis."""
+    args = {"sample_size": len(zds), "batch_size": batch_size}
+    cached = load_cached_state(cachefile, args)
+    if cached is not None:
+        return {k: jnp.asarray(v) for k, v in cached.items()
+                if k not in args}
+    outs = {}
+    for z, v in zds.batches(batch_size):
+        for k, rows in compute(jnp.asarray(z[:v])).items():
+            outs.setdefault(k, []).append(np.asarray(rows))
+    result = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+    if cachefile is not None:
+
+        class _Obj:
+            def state_dict(self):
+                return dict(result)  # save_cached_state adds args in place
+        save_cached_state(cachefile, _Obj(), args)
+    return {k: jnp.asarray(v) for k, v in result.items()}
+
+
 def tally_conditional_mean(compute, zds, batch_size=10, cachefile=None):
     """compute yields [(condition, rows), ...] per batch (reference
     tally.py:274-297)."""

@@ -1,0 +1,135 @@
+"""Round-2 perf probe: fused vs unfused sampling, batch sweep, insert-solve
+per-iter floor. Run on the real TPU. Prints one JSON line per measurement."""
+
+import argparse
+import json
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from rewriting_tpu.ops.precision import set_precision
+from rewriting_tpu.models import SeqStyleGAN2
+from rewriting_tpu.core import DataBag
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="sample",
+                    choices=["sample", "solve", "segments"])
+    ap.add_argument("--precision", default="high")
+    args = ap.parse_args()
+
+    print(json.dumps({"devices": jax.device_count(),
+                      "kind": jax.devices()[0].device_kind}), flush=True)
+
+    if args.what == "segments":
+        segments()
+        return
+    if args.what == "sample":
+        set_precision(args.precision)
+        model = SeqStyleGAN2(size=256)
+        params = model.init_params(jax.random.PRNGKey(0))
+        for batch in (64, 128, 256):
+            z = jax.random.normal(jax.random.PRNGKey(1), (batch, 512))
+            noise = model.prepare_noise(batch)
+            for fused in (False, True):
+                fwd = jax.jit(lambda p, z, n, f=fused: model(p, z, n,
+                                                             fused=f))
+                dt = timeit(fwd, params, z, noise)
+                print(json.dumps({
+                    "what": "sample", "batch": batch, "fused": fused,
+                    "precision": args.precision,
+                    "img_per_sec": round(batch / dt, 1)}), flush=True)
+    else:
+        from rewriting_tpu.rewrite.solve import insert_solve
+        set_precision(args.precision)
+        model = SeqStyleGAN2(size=256)
+        params = model.init_params(jax.random.PRNGKey(0))
+        layer = "layer8.sconv"
+        window = model.pipeline.subsequence(
+            first_layer=f"{layer}.mconv.dconv",
+            last_layer=f"{layer}.activate")
+        wkey = f"{layer}.mconv.dconv"
+        w0 = params[wkey]["weight"]
+        rng = np.random.RandomState(0)
+        in_c = w0.shape[2]
+        bag = DataBag(fmap=jnp.asarray(rng.randn(1, 32, 32, in_c),
+                                       jnp.float32),
+                      style=jnp.asarray(rng.randn(1, in_c), jnp.float32))
+        goal_out = jnp.asarray(rng.randn(1, 32, 32, w0.shape[1]),
+                               jnp.float32)
+
+        def window_fn(w, goal):
+            b, p = goal
+            p = dict(p)
+            p[wkey] = {**p[wkey], "weight": w}
+            return window(p, b)["fmap"]
+
+        direction = jnp.asarray(rng.randn(1, in_c), jnp.float32)
+        direction = direction / jnp.linalg.norm(direction)
+        for niter in (101, 2001):
+            insert_solve(window_fn, w0, (bag, params), goal_out, direction,
+                         niter=niter, piter=10, lr=0.05)
+            _, _, ms = insert_solve(window_fn, w0, (bag, params), goal_out,
+                                    direction, niter=niter, piter=10,
+                                    lr=0.05, return_timing=True)
+            print(json.dumps({"what": "insert", "niter": niter,
+                              "precision": args.precision,
+                              "ms": round(ms, 1)}), flush=True)
+
+
+
+def segments():
+    """Cumulative prefix timing of the StyleGAN2-256 forward at batch 64."""
+    set_precision("high")
+    model = SeqStyleGAN2(size=256)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = 64
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 512))
+    noise = model.prepare_noise(batch)
+    cuts = (["input"] +
+            [f"layer{i}" for i in range(2, 15)] +
+            [f"to_rgb{i}" for i in range(1, 8)] +
+            [f"up_rgb{i}" for i in range(1, 7)] + ["output"])
+    names = [s.name for s in model.pipeline.stages]
+    results = []
+    prev = 0.0
+    order = [c for c in cuts if any(n == c or n.startswith(c + ".")
+                                    for n in names)]
+    # sort cuts by pipeline position
+    def pos(c):
+        return max(i for i, n in enumerate(names)
+                   if n == c or n.startswith(c + "."))
+    order.sort(key=pos)
+    for cut in order:
+        pre = model.pipeline.subsequence(upto_layer=None, last_layer=cut)
+
+        def run(p, z, n):
+            bag = model.make_bag(z, n)
+            return pre(p, bag)
+
+        f = jax.jit(run)
+        dt = timeit(f, params, z, noise, iters=10) * 1000
+        results.append({"cut": cut, "cum_ms": round(dt, 2),
+                        "delta_ms": round(dt - prev, 2)})
+        prev = dt
+    for r in results:
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,71 @@ def test_fast_insert_stylegan_nonup_and_up(goldens):
     gw_up = SeqStyleGanRewriter(model, params, zds, layernum=3,
                                 stats_batch_size=5)
     _compare(gw_up, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# The chunk-restructured projected-insert scan (prologue + statically-placed
+# projections, rewrite/solve.py) must reproduce the reference trajectory —
+# Adam step then project when (it % piter == 0) | (it == niter-1), reference
+# ganrewrite.py:279-294 — bit-for-bit, including ragged niter/piter combos.
+# ---------------------------------------------------------------------------
+
+def _reference_insert_loop(window_fn, w0, goal_in, goal_out, direction,
+                           niter, piter, lr, low_rank_insert=True,
+                           low_rank_gradient=False):
+    import jax.numpy as jnp
+    import optax
+    from rewriting_tpu.rewrite.solve import projected_conv
+    ortho = w0 - projected_conv(w0, direction)
+    opt = optax.adam(lr)
+    state = opt.init(w0)
+    w = w0
+    losses = []
+
+    def loss_fn(w):
+        return jnp.mean(jnp.abs(goal_out - window_fn(w, goal_in)))
+
+    for it in range(niter):
+        loss, grad = jax.value_and_grad(loss_fn)(w)
+        if low_rank_gradient:
+            grad = projected_conv(grad, direction)
+        updates, state = opt.update(grad, state, w)
+        w = optax.apply_updates(w, updates)
+        if low_rank_insert and (it % piter == 0 or it == niter - 1):
+            w = ortho + projected_conv(w, direction)
+        losses.append(float(loss))
+    return w, np.array(losses)
+
+
+@pytest.mark.parametrize("niter,piter", [(1, 10), (7, 3), (13, 5),
+                                         (21, 10), (10, 4)])
+def test_insert_scan_matches_reference_loop(niter, piter):
+    import jax.numpy as jnp
+    from jax import lax
+    from rewriting_tpu.rewrite.solve import insert_solve
+    from rewriting_tpu.ops.precision import get_precision
+    rng = np.random.RandomState(0)
+    w0 = jnp.asarray(rng.randn(8, 6, 3, 3), jnp.float32)
+    x = jnp.asarray(rng.randn(2, 5, 5, 6), jnp.float32)
+    goal = jnp.asarray(rng.randn(2, 5, 5, 8), jnp.float32)
+    d = jnp.asarray(rng.randn(2, 6), jnp.float32)
+    d, _ = np.linalg.qr(np.asarray(d).T)
+    d = jnp.asarray(d.T)
+
+    def window_fn(w, goal_in):
+        return lax.conv_general_dilated(
+            goal_in, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision())
+
+    for lri, lrg in [(True, False), (False, False), (True, True)]:
+        w_ref, losses_ref = _reference_insert_loop(
+            window_fn, w0, x, goal, d, niter, piter, 0.05,
+            low_rank_insert=lri, low_rank_gradient=lrg)
+        w_new, losses_new = insert_solve(
+            window_fn, w0, x, goal, d, niter=niter, piter=piter, lr=0.05,
+            low_rank_insert=lri, low_rank_gradient=lrg)
+        np.testing.assert_allclose(np.asarray(losses_new), losses_ref,
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
+                                   rtol=1e-5, atol=1e-6)

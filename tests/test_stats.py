@@ -147,7 +147,7 @@ def test_quantile_adversarial():
     scales = np.array([1.0, 0.01, 100.0], np.float32)
     data = stream[:, None] * scales[None, :]
 
-    rq = RunningQuantile(resolution=4096)
+    rq = RunningQuantile()  # default resolution (6*1024)
     for b in batches(data, 1999):  # ragged batches on purpose
         rq.add(b)
 
@@ -158,9 +158,11 @@ def test_quantile_adversarial():
     qs = np.linspace(0, 1, 101)
     est = np.asarray(rq.quantiles(qs))
     want = qs[None, :] * (n - 1) * scales[:, None]
-    # rank error: |est - true| as a fraction of the full range
+    # rank error: |est - true| as a fraction of the full range.  The
+    # reference self-test demands ~1/1000-ile accuracy at this resolution
+    # (runningstats.py:1278-1282); we assert 0.2%.
     rank_err = np.abs(est - want) / ((n - 1) * scales[:, None])
-    assert rank_err.max() < 0.015, rank_err.max()
+    assert rank_err.max() < 0.002, rank_err.max()
 
     # normalize is the inverse map
     probe = np.array([0.25, 0.5, 0.75], np.float32)[None, :] * (
@@ -263,3 +265,26 @@ def test_conditional_samples():
     assert pairs[0].shape == (32, 3)
     assert pairs[7].shape == (8, 3)
     assert pairs[9].shape == (8, 3)
+
+
+def test_tally_cat_dict(tmp_path, data):
+    """Dict-of-tensors concatenation + cache round-trip (reference
+    tally.py:349-377)."""
+    zds = ZDataset(data)
+    calls = []
+
+    def compute(z):
+        calls.append(1)
+        return {"a": z * 2.0, "b": jnp.sum(z, axis=1, keepdims=True)}
+
+    cf = str(tmp_path / "cd.npz")
+    r1 = tally.tally_cat_dict(compute, zds, batch_size=100, cachefile=cf)
+    assert set(r1) == {"a", "b"}
+    np.testing.assert_allclose(np.asarray(r1["a"]), data * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1["b"]),
+                               data.sum(1, keepdims=True), rtol=1e-4,
+                               atol=1e-4)
+    n_calls = len(calls)
+    r2 = tally.tally_cat_dict(compute, zds, batch_size=100, cachefile=cf)
+    assert len(calls) == n_calls  # cache hit
+    np.testing.assert_allclose(np.asarray(r2["a"]), np.asarray(r1["a"]))
