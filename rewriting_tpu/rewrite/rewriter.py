@@ -638,13 +638,31 @@ class GanRewriter:
         img = np.asarray(self.sample_image_from_latent(self.get_z(imgnum)))
         return renormalize.as_image(img[0])
 
-    def render_image_batch(self, imgnums, batch_size=8):
+    def render_image_batch(self, imgnums, key=None, level=None,
+                           batch_size=8, **kwargs):
+        """Render images; when (key, level) are given, overlay the key's
+        response heatmap thresholded at `level` — the inline Search
+        highlight (reference ganrewrite.py:626-650)."""
         out = []
+        iv = None
+        if key is not None and level is not None:
+            from ..utils import imgviz
+            key = jnp.asarray(key)
+            iv = imgviz.ImageVisualizer(self.x_shape[1:3])
         for i in range(0, len(imgnums), batch_size):
             zb = jnp.asarray(np.stack([self.zds[j]
                                        for j in imgnums[i:i + batch_size]]))
             imgs = np.asarray(self.sample_image_from_latent(zb))
-            out.extend(renormalize.as_image(im) for im in imgs)
+            if iv is not None:
+                acts = self.context_acts(self._context(
+                    self.params, self.model.make_bag(zb)))
+                heat = np.asarray(jnp.sum(
+                    acts * key[None, None, None, :], axis=-1))
+                out.extend(iv.masked_image(im, activations=heat[j],
+                                           level=float(level), **kwargs)
+                           for j, im in enumerate(imgs))
+            else:
+                out.extend(renormalize.as_image(im) for im in imgs)
         return out
 
 

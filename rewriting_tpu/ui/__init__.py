@@ -1,8 +1,11 @@
-from .labwidget import (Button, Checkbox, Choice, Div, Image, Label, Model,
-                        Property, Range, Textbox, Trigger, Widget)
+from .labwidget import (Button, Checkbox, Choice, ClickDiv, Datalist, Div,
+                        Image, Label, Menu, Model, Property, Range, Textarea,
+                        Textbox, Trigger, Widget, block_events,
+                        capture_output)
 from .paintwidget import PaintWidget
 from .rewriteapp import GanRewriteApp
 
 __all__ = ["Model", "Property", "Trigger", "Widget", "Button", "Label",
-           "Textbox", "Range", "Choice", "Checkbox", "Div", "Image",
-           "PaintWidget", "GanRewriteApp"]
+           "Textbox", "Textarea", "Range", "Choice", "Menu", "Datalist",
+           "Checkbox", "Div", "ClickDiv", "Image", "block_events",
+           "capture_output", "PaintWidget", "GanRewriteApp"]

@@ -23,6 +23,79 @@ from typing import Any, Callable, Dict, List, Optional
 
 _id_counter = itertools.count(1)
 
+# ---------------------------------------------------------------------------
+# event re-entrancy control + handler output capture
+# (reference utils/labwidget.py:480-544)
+# ---------------------------------------------------------------------------
+
+_entered_handler_stack: List["block_events"] = []
+
+
+class block_events:
+    """Context manager marking 'inside an event handler'.  External
+    (user-registered) listeners are silenced while any external handler is
+    already running — property writes made inside a handler update state
+    and the view but do not cascade into further Python listeners
+    (reference labwidget.py:484-506).  Internal listeners (the framework's
+    own, e.g. view sync) are silenced only on exact recursion of the same
+    (name, callback) pair."""
+
+    def __init__(self, name: str = "block_events", cb: Callable = None,
+                 internal: bool = False):
+        self.internal = internal
+        self.cb = cb
+        self.name = name
+        if not internal:
+            self.silence = any(not s.internal
+                               for s in _entered_handler_stack)
+        else:
+            self.silence = any(s.cb == cb and s.name == name
+                               for s in _entered_handler_stack)
+
+    def __enter__(self):
+        _entered_handler_stack.append(self)
+        return self
+
+    def __exit__(self, exc_type, exc_value, exc_tb):
+        _entered_handler_stack.pop()
+
+
+class capture_output:
+    """Capture stdout/stderr (and exceptions) raised by handler code and
+    route them to ``widget.write`` so they render above the widget instead
+    of vanishing into the kernel log (reference labwidget.py:509-544).
+    Used by the comm receive path around view-triggered handlers."""
+
+    def __init__(self, widget):
+        from io import StringIO
+        self.widget = widget
+        self.buffer = StringIO()
+
+    def __enter__(self):
+        import sys
+        self.saved = dict(stdout=sys.stdout, stderr=sys.stderr)
+        sys.stdout = self.buffer
+        sys.stderr = self.buffer
+        return self
+
+    def __exit__(self, exc_type, exc_value, exc_tb):
+        import sys
+        import traceback
+        captured = self.buffer.getvalue()
+        sys.stdout = self.saved["stdout"]
+        sys.stderr = self.saved["stderr"]
+        if captured and "write" in self.widget.property_names():
+            self.widget.trigger(
+                "write", f"<pre>{_html.escape(captured)}</pre>")
+        if exc_type and "write" in self.widget.property_names():
+            tbtxt = "".join(traceback.format_exception(
+                exc_type, exc_value, exc_tb))
+            self.widget.trigger(
+                "write",
+                f'<pre style="color:red;text-align:left">'
+                f"{_html.escape(tbtxt)}</pre>")
+        return False
+
 
 class Property:
     """A synchronized value. Declared as a class or instance attribute of a
@@ -100,7 +173,12 @@ class Model:
         if not isinstance(b.prop, Trigger):
             b.prop.value = value
         for cb in list(b.listeners):
-            cb(value)
+            # silence cascaded external listeners while inside a handler
+            # (reference labwidget.py:405-412): handlers may update other
+            # properties (state + view) without re-triggering Python logic
+            with block_events(name, cb) as ctx:
+                if not ctx.silence:
+                    cb(value)
         if not _from_view:
             self._send_to_view(name, value)
 
@@ -152,6 +230,14 @@ _COMM_JS = r"""
     (model.handlers[name] = model.handlers[name] || []).push(h);
   };
   connect();
+  model.on("write", function(v) {
+    var el = document.getElementById(model.id);
+    if (el && el.parentNode) {
+      var d = document.createElement("div");
+      d.innerHTML = v;
+      el.parentNode.insertBefore(d, el);
+    }
+  });
   window._labwidget_models = window._labwidget_models || {};
   window._labwidget_models[model.id] = model;
   %(setup)s
@@ -187,8 +273,11 @@ def _register_comm_target():  # pragma: no cover - requires live kernel
         def _recv(msg, widget=widget):
             data = msg.get("content", {}).get("data", {})
             if "name" in data:
-                widget.set(data["name"], data.get("value"),
-                           _from_view=True)
+                # handler stdout/stderr/exceptions render above the widget
+                # (reference labwidget.py:190)
+                with capture_output(widget):
+                    widget.set(data["name"], data.get("value"),
+                               _from_view=True)
 
     comm_manager.register_target("labwidget", on_open)
     _COMM_TARGET_REGISTERED[0] = True
@@ -196,6 +285,9 @@ def _register_comm_target():  # pragma: no cover - requires live kernel
 
 class Widget(Model):
     """A Model with an HTML view."""
+
+    # handler output/errors render above the widget (capture_output)
+    write = Trigger()
 
     def __init__(self, style=None, **kwargs):
         object.__setattr__(self, "_view_id", f"lw{next(_id_counter)}")
@@ -355,6 +447,130 @@ class Checkbox(Widget):
                 f'{{ model.set("value", el.checked); }});')
 
 
+class Textarea(Widget):
+    """Multi-line text input; value syncs on blur
+    (reference labwidget.py:628-660)."""
+    value = Property("")
+    rows = Property(2)
+    cols = Property(20)
+
+    def __init__(self, value="", rows=2, cols=20, **kwargs):
+        super().__init__(**kwargs)
+        self.value = value
+        self.rows = rows
+        self.cols = cols
+
+    def widget_html(self):
+        return (f'<textarea {self.std_attrs()} rows="{self.rows}" '
+                f'cols="{self.cols}">'
+                f'{_html.escape(str(self.value))}</textarea>')
+
+    def widget_js(self):
+        return (f'var el = document.getElementById("{self._view_id}");'
+                f'el.addEventListener("blur", function() '
+                f'{{ model.set("value", el.value); }});'
+                f'model.on("value", function(v) {{ el.value = v; }});'
+                f'model.on("rows", function(v) {{ el.rows = v; }});'
+                f'model.on("cols", function(v) {{ el.cols = v; }});')
+
+
+class Menu(Widget):
+    """A dropdown choice whose option list can be updated live
+    (reference labwidget.py:740-786)."""
+    choices = Property(None)
+    selection = Property(None)
+
+    def __init__(self, choices=None, selection=None, **kwargs):
+        super().__init__(**kwargs)
+        self.choices = choices or []
+        self.selection = selection
+
+    def _options_html(self):
+        return "".join(
+            f'<option value="{_html.escape(str(c))}"'
+            + (" selected" if c == self.selection else "")
+            + f'>{_html.escape(str(c))}</option>'
+            for c in (self.choices or []))
+
+    def widget_html(self):
+        return (f'<form {self.std_attrs()}>'
+                f'<select name="menu">{self._options_html()}</select>'
+                f'</form>')
+
+    def widget_js(self):
+        return (
+            f'var el = document.getElementById("{self._view_id}");'
+            f'var sel = el.querySelector("select");'
+            'function esc(u) { return String(u).split("&").join("&amp;")'
+            '.split("<").join("&lt;").split(">").join("&gt;")'
+            '.split(String.fromCharCode(34)).join("&quot;"); }'
+            'function render() {'
+            '  var s = model.props.selection;'
+            '  sel.innerHTML = (model.props.choices || []).map(function(c)'
+            '  { return \'<option value="\' + esc(c) + \'"\' +'
+            '    (c == s ? " selected" : "") + ">" + esc(c) + "</option>";'
+            '  }).join("");'
+            '}'
+            'model.on("choices", render);'
+            'model.on("selection", function(v) {'
+            '  sel.querySelectorAll("option").forEach(function(o)'
+            '  { o.selected = (o.value == v); });'
+            '});'
+            'el.addEventListener("change", function()'
+            '{ model.set("selection", sel.value); });')
+
+
+class Datalist(Widget):
+    """A text input with dropdown autocomplete choices
+    (reference labwidget.py:789-860)."""
+    choices = Property(None)
+    value = Property(None)
+
+    def __init__(self, choices=None, value=None, **kwargs):
+        super().__init__(**kwargs)
+        self.choices = choices or []
+        self.value = value
+
+    def datalist_id(self):
+        return self._view_id + "-dl"
+
+    def widget_html(self):
+        opts = "".join(f'<option value="{_html.escape(str(c))}">'
+                       for c in (self.choices or []))
+        val = _html.escape(str(self.value)) if self.value else ""
+        return (f'<form {self.std_attrs()} onsubmit="return false;">'
+                f'<input name="inp" list="{self.datalist_id()}" '
+                f'value="{val}" autocomplete="off">'
+                f'<datalist id="{self.datalist_id()}">{opts}</datalist>'
+                f'</form>')
+
+    def widget_js(self):
+        # The mousedown value-stash defeats the browser's prefix filtering
+        # so the full choice list drops down (reference labwidget.py:805-835)
+        return (
+            f'var el = document.getElementById("{self._view_id}");'
+            f'var inp = el.querySelector("input");'
+            f'var dl = document.getElementById("{self.datalist_id()}");'
+            'function esc(u) { return String(u).split("&").join("&amp;")'
+            '.split("<").join("&lt;").split(">").join("&gt;")'
+            '.split(String.fromCharCode(34)).join("&quot;"); }'
+            'function render() {'
+            '  dl.innerHTML = (model.props.choices || []).map(function(c)'
+            '  { return \'<option value="\' + esc(c) + \'">\'; }).join("");'
+            '}'
+            'model.on("choices", render);'
+            'model.on("value", function(v) { inp.value = v == null ? "" : v; });'
+            'function restoreValue() {'
+            '  if (inp.value == "") {'
+            '    inp.value = inp.placeholder; inp.placeholder = ""; } }'
+            'inp.addEventListener("mousedown", function() {'
+            '  if (inp.value != "") {'
+            '    inp.placeholder = inp.value; inp.value = ""; } });'
+            'inp.addEventListener("mouseleave", restoreValue);'
+            'inp.addEventListener("change", function() {'
+            '  inp.placeholder = ""; model.set("value", inp.value); });')
+
+
 class Div(Widget):
     innerHTML = Property("")
 
@@ -371,6 +587,24 @@ class Div(Widget):
     def widget_js(self):
         return (f'model.on("innerHTML", function(v) {{ document.'
                 f'getElementById("{self._view_id}").innerHTML = v; }});')
+
+
+class ClickDiv(Div):
+    """A Div that fires a click Trigger for clicks anywhere inside it; the
+    nearest enclosing element's data-click value is the event payload
+    (reference labwidget.py:905-925)."""
+    click = Trigger()
+
+    def widget_js(self):
+        return super().widget_js() + (
+            f'var el = document.getElementById("{self._view_id}");'
+            'el.addEventListener("click", function(ev) {'
+            '  var t = ev.target;'
+            '  while (t && t != el && !(t.dataset && t.dataset.click))'
+            '  { t = t.parentElement; }'
+            '  model.set("click",'
+            '    t && t.dataset ? t.dataset.click : undefined);'
+            '});')
 
 
 class Image(Widget):
