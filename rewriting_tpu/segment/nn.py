@@ -15,16 +15,21 @@ from ..ops.precision import get_precision
 
 
 def conv(x, p: Dict, stride: int = 1, padding: int = 0, relu: bool = False,
-         dilation: int = 1):
-    """NHWC conv with OIHW weight + bias (+ optional relu)."""
+         dilation: int = 1, groups: int = 1, relu6: bool = False):
+    """NHWC conv with OIHW weight + bias (+ optional relu/relu6). `groups`
+    maps to feature_group_count (grouped/depthwise convs: ResNeXt,
+    MobileNetV2)."""
     out = lax.conv_general_dilated(
         x, p["weight"], (stride, stride),
         ((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        feature_group_count=groups,
         precision=get_precision())
     if "bias" in p:
         out = out + p["bias"]
+    if relu6:
+        return jnp.clip(out, 0.0, 6.0)
     return jax.nn.relu(out) if relu else out
 
 

@@ -134,5 +134,77 @@ def main():
             "err_fused": err_b, "err_subpixel": err_c}), flush=True)
 
 
+
+# --- variant D: subpixel decomposition of the bare 3x3 (2x2 phase kernels,
+# 2.25x fewer MACs than the dense dilated conv), interleave to 257, then
+# the cheap depthwise FIR blur as in variant A. ---
+
+def subpixel3_kernel(w):
+    """(O, I, 3, 3) flipped conv taps -> (4O, I, 2, 2) phase kernels.
+    Phase (p, q) output at (u, v) with pad 1 correlation:
+    out[u] = sum_ty in[u - 1 + ty] * K[p, ty], K rows:
+    p=0 -> [wf0, wf2]; p=1 -> [0, wf1] (and same along x)."""
+    wf = w  # already flipped+scaled by caller
+    o, i = wf.shape[:2]
+    idx = jnp.array([[0, 2], [0, 1]])
+    msk = jnp.array([[1.0, 1.0], [0.0, 1.0]], wf.dtype)
+    ky = wf[:, :, idx, :] * msk[None, None, :, :, None]   # (O,I,2,2,3)
+    k = ky[:, :, :, :, idx] * msk[None, None, None, None] # (O,I,2,2,2,2)
+    # (O,I,p,ty,q,tx) -> (p,q,O,I,ty,tx) -> (4O, I, 2, 2)
+    k = k.transpose(2, 4, 0, 1, 3, 5)
+    return k.reshape(4 * o, i, 2, 2)
+
+
+def variant_d(x, w):
+    o = w.shape[0]
+    kconv = subpixel3_kernel(w)  # w is already correlation taps here
+    ph = lax.conv_general_dilated(
+        x, kconv, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=get_precision())          # (B, h+1, w+1, 4O)
+    b, hp, wp = ph.shape[:3]
+    t = ph.reshape(b, hp, wp, 2, 2, o)
+    t = t.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hp, 2 * wp, o)
+    t = t[:, :2 * (hp - 1) + 1, :2 * (wp - 1) + 1, :]
+    return blur2d(t, jnp.asarray(BLUR), BLUR_PAD, 2)
+
+
+def main_d():
+    shapes = [
+        (64, 128, 128, 128, 64),
+        (64, 64, 64, 256, 128),
+        (64, 32, 32, 512, 256),
+        (64, 16, 16, 512, 512),
+    ]
+    fa, fd = jax.jit(variant_a), jax.jit(variant_d)
+    for bt, h, wd, ic, oc in shapes:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(bt, h, wd, ic), jnp.float32)
+        w = jnp.asarray(rng.randn(oc, ic, K, K) / np.sqrt(ic * 9),
+                        jnp.float32)
+        ya = fa(x, w)
+        yd = fd(x, w)
+        err = float(jnp.max(jnp.abs(ya - yd)))
+        # distinct pre-materialized inputs per call: no chain ops in the
+        # timed loop, and no identical-execution dedup/caching
+        def distinct(f, x, w, iters=6):
+            xs = [jnp.asarray(np.asarray(x) + 1e-6 * i) for i in
+                  range(iters)]
+            jax.block_until_ready(xs)
+            out = f(x, w)
+            jax.block_until_ready(out)
+            import time as _t
+            t0 = _t.perf_counter()
+            for xi in xs:  # block per call: outputs freed, no dedup
+                jax.block_until_ready(f(xi, w))
+            return (_t.perf_counter() - t0) / iters * 1e3
+        ta = distinct(fa, x, w)
+        td = distinct(fd, x, w)
+        print(json.dumps({"shape": [bt, h, wd, ic, oc],
+                          "ms_dilated_plus_blur": round(ta, 2),
+                          "ms_subpixel3": round(td, 2),
+                          "err": err}), flush=True)
+
 if __name__ == "__main__":
-    main()
+    import sys
+    main_d() if "--d" in sys.argv else main()

@@ -438,9 +438,94 @@ def make_dilated_resnet_golden():
 
 if __name__ == "__main__":
     make_dilated_resnet_golden()
+    make_segzoo_golden()
     make_vgg_golden()
     make_upfirdn_golden()
     make_proggan_golden()
     make_stylegan_golden()
     make_bisenet_golden()
     make_upernet_golden()
+
+
+# ---------------------------------------------------------------------------
+# segmodel zoo goldens: MobileNetV2Dilated + ResNeXt101 encoders and the
+# deep-supervision decoders (reference segmodel/models.py:272-498)
+# ---------------------------------------------------------------------------
+
+def _load_refsg():
+    pkg = types.ModuleType("refsg")
+    pkg.__path__ = [str(REF / "utils" / "segmodel")]
+    sys.modules["refsg"] = pkg
+    for sub in ["resnet", "resnext", "mobilenet"]:
+        spec = importlib.util.spec_from_file_location(
+            f"refsg.{sub}", REF / "utils" / "segmodel" / f"{sub}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refsg.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "refsg.models", REF / "utils" / "segmodel" / "models.py")
+    models = importlib.util.module_from_spec(spec)
+    sys.modules["refsg.models"] = models
+    spec.loader.exec_module(models)
+    return models
+
+
+def make_segzoo_golden():
+    models = _load_refsg()
+    rng = np.random.RandomState(12)
+    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    data = {"x": x}
+
+    # MobileNetV2Dilated encoder
+    torch.manual_seed(1)
+    orig = sys.modules["refsg.mobilenet"].mobilenetv2(pretrained=False)
+    mbv2 = models.MobileNetV2Dilated(orig, dilate_scale=8)
+    mbv2.eval()
+    with torch.no_grad():
+        feats = mbv2(torch.from_numpy(x), return_feature_maps=True)
+    for k, v in sd_to_np(mbv2.state_dict()).items():
+        data[f"mbv2.sd.{k}"] = v
+    for i, f in enumerate(feats):
+        data[f"mbv2.feat_{i}"] = f.numpy()
+
+    # ResNeXt101 (undilated Resnet wrapper, models.py:1043-1045).  The full
+    # 23-block layer3 is slow on CPU but fine at 64x64 once.
+    torch.manual_seed(2)
+    orig = sys.modules["refsg.resnext"].resnext101(pretrained=False)
+    rnx = models.Resnet(orig)
+    rnx.eval()
+    with torch.no_grad():
+        feats = rnx(torch.from_numpy(x), return_feature_maps=True)
+    for k, v in sd_to_np(rnx.state_dict()).items():
+        data[f"rnx.sd.{k}"] = v
+    for i, f in enumerate(feats):
+        data[f"rnx.feat_{i}"] = f.numpy()
+
+    # PPMDeepsup + C1DeepSup decoders at inference (use_softmax=True)
+    torch.manual_seed(3)
+    ppmds = models.PPMDeepsup(num_class=7, fc_dim=64, use_softmax=True)
+    ppmds.eval()
+    conv5 = rng.randn(1, 64, 8, 8).astype(np.float32)
+    conv4 = rng.randn(1, 32, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        out = ppmds([torch.from_numpy(conv4), torch.from_numpy(conv5)],
+                    segSize=(32, 32))
+    for k, v in sd_to_np(ppmds.state_dict()).items():
+        data[f"ppmds.sd.{k}"] = v
+    data["ppmds.conv5"] = conv5
+    data["ppmds.conv4"] = conv4
+    data["ppmds.out"] = out.numpy()
+
+    torch.manual_seed(4)
+    c1ds = models.C1DeepSup(num_class=7, fc_dim=64, use_softmax=True)
+    c1ds.eval()
+    with torch.no_grad():
+        out = c1ds([torch.from_numpy(conv4), torch.from_numpy(conv5)],
+                   segSize=(32, 32))
+    for k, v in sd_to_np(c1ds.state_dict()).items():
+        data[f"c1ds.sd.{k}"] = v
+    data["c1ds.out"] = out.numpy()
+
+    np.savez(OUT / "segzoo.npz", **data)
+    print("segzoo goldens:",
+          [k for k in data if k.endswith("feat_4") or k.endswith(".out")])

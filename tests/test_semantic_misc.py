@@ -123,3 +123,91 @@ def test_zdataset_loaders():
     groups = epoch_grouper(training_loader(model, 4, epoch_size=8), 2)
     first = list(next(groups))
     assert len(first) == 2
+
+
+# ---------------------------------------------------------------------------
+# round-2 segmodel zoo: MobileNetV2Dilated, ResNeXt101, deepsup decoders
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_mobilenetv2_dilated_parity(goldens):
+    """MobileNetV2Dilated encoder matches the reference exactly, including
+    the _nostride_dilate rewrite of blocks 7-17 and the original-stride
+    residual rule (reference segmodel/models.py:272-325)."""
+    import jax.numpy as jnp
+    from rewriting_tpu.segment.semantic import (
+        mobilenetv2_dilated_features, mobilenetv2_from_torch)
+    g = goldens("segzoo")
+    x = np.transpose(g["x"], (0, 2, 3, 1))
+    sd = {k[len("mbv2.sd."):]: g[k] for k in g.files
+          if k.startswith("mbv2.sd.")}
+    params = mobilenetv2_from_torch(sd)
+    feats = mobilenetv2_dilated_features(params, jnp.asarray(x),
+                                         dilate_scale=8)
+    assert len(feats) == 5
+    for i in range(5):
+        ref = g[f"mbv2.feat_{i}"]
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(feats[i]), (0, 3, 1, 2)) / scale,
+            ref / scale, atol=3e-5, err_msg=f"mbv2 feat_{i}")
+
+
+@pytest.mark.slow
+def test_resnext101_parity(goldens):
+    """ResNeXt101 (grouped bottlenecks, deep stem, undilated Resnet
+    wrapper) matches the reference (segmodel/resnext.py:32-135)."""
+    import jax.numpy as jnp
+    from rewriting_tpu.segment.semantic import (resnext101_features,
+                                                resnext101_from_torch)
+    g = goldens("segzoo")
+    x = np.transpose(g["x"], (0, 2, 3, 1))
+    sd = {k[len("rnx.sd."):]: g[k] for k in g.files
+          if k.startswith("rnx.sd.")}
+    params = resnext101_from_torch(sd)
+    feats = resnext101_features(params, jnp.asarray(x))
+    assert feats[3].shape[-1] == 2048
+    for i in range(4):
+        ref = g[f"rnx.feat_{i}"]
+        scale = max(np.abs(ref).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(feats[i]), (0, 3, 1, 2)) / scale,
+            ref / scale, atol=5e-5, err_msg=f"rnx feat_{i}")
+
+
+def test_deepsup_decoders_parity(goldens):
+    """PPMDeepsup / C1DeepSup at inference == PPM / C1 with the same
+    conv_last key layout (reference segmodel/models.py:327-498)."""
+    import jax.numpy as jnp
+    from rewriting_tpu.segment.semantic import (C1DeepSupDecoder,
+                                                PPMDeepsupDecoder)
+    g = goldens("segzoo")
+    conv5 = jnp.asarray(np.transpose(g["ppmds.conv5"], (0, 2, 3, 1)))
+    conv4 = jnp.asarray(np.transpose(g["ppmds.conv4"], (0, 2, 3, 1)))
+    for name, cls in [("ppmds", PPMDeepsupDecoder),
+                      ("c1ds", C1DeepSupDecoder)]:
+        sd = {k[len(name) + 4:]: g[k] for k in g.files
+              if k.startswith(f"{name}.sd.")}
+        dec = cls(num_class=7, fc_dim=64)
+        params = dec.params_from_torch(sd)
+        out = dec(params, [conv4, conv5], seg_size=(32, 32))
+        ref = g[f"{name}.out"]
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(out), (0, 3, 1, 2)), ref, atol=2e-5,
+            err_msg=name)
+
+
+@pytest.mark.slow
+def test_semantic_segmenter_new_archs():
+    """The new archs run through the full SemanticSegmenter pipeline."""
+    from rewriting_tpu.segment.semantic import SemanticSegmenter
+    labels = ["-", "a", "b"]
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    for arch, dec in [("mobilenetv2dilated", "c1_deepsup"),
+                      ("resnext101", "ppm_deepsup")]:
+        seg = SemanticSegmenter(None, labels, decoder=dec, arch=arch,
+                                segsizes=[64])
+        out = seg.segment_batch(imgs)
+        assert out.shape == (1, 1, 64, 64)
+        assert out.max() < len(labels)
