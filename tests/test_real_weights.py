@@ -1,0 +1,275 @@
+"""Gated real-weights parity suite.
+
+Runs only for the checkpoints present under $REWRITING_TPU_WEIGHTS
+(populate with scripts/fetch_weights.py on a machine with egress); every
+test skips cleanly when its file is absent, so the suite is a no-op in the
+air-gapped CI image.  What each test verifies when it CAN run:
+
+- all 8+8 published zoo checkpoints load through the converters and render
+  sane deterministic images (reference utils/stylegan2/__init__.py:17-47,
+  utils/proggan.py:8-30);
+- StyleGAN2-church and ProgGAN-church outputs match the *reference torch
+  code* run on CPU with the same checkpoint at fp32 tolerance (the real
+  output-fidelity gate; reference CUDA ops replaced by their documented
+  pure-torch fallbacks, scripts/make_goldens.py);
+- FID machinery with the real Inception checkpoint is self-consistent
+  (FID(a,a) ~ 0, deterministic embeddings, sensitivity to perturbation);
+- UPerNet with the released unified-parsing weights labels a church render
+  sensibly (building/sky dominate);
+- LPIPS with real VGG16 weights is zero at identity and monotone in noise;
+- published edit-request masks (dome2spire.json etc.) decode and drive an
+  edit whose effect is visible.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rewriting_tpu.models.zoo import (PROGGAN_ZOO, STYLEGAN2_ZOO,
+                                      load_proggan, load_seq_stylegan,
+                                      weights_dir)
+
+WD = weights_dir()
+
+
+def _have(*rel):
+    return os.path.isfile(os.path.join(WD, *rel))
+
+
+def requires(*rel):
+    return pytest.mark.skipif(
+        not _have(*rel),
+        reason=f"{os.path.join(*rel)} not in $REWRITING_TPU_WEIGHTS ({WD})")
+
+
+def _z(model, seed=0, n=1):
+    from rewriting_tpu.utils.zdataset import standard_z_sample
+    return jnp.asarray(standard_z_sample(n, model.z_dim, seed=seed))
+
+
+# ---------------------------------------------------------------------------
+# zoo loaders render
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("category", sorted(STYLEGAN2_ZOO))
+def test_stylegan2_zoo_loads_and_renders(category):
+    filename, size = STYLEGAN2_ZOO[category]
+    if not _have(filename):
+        pytest.skip(f"{filename} not in $REWRITING_TPU_WEIGHTS")
+    model, params = load_seq_stylegan(category, truncation=0.5)
+    img = np.asarray(model(params, _z(model)))
+    assert img.shape == (1, size, size, 3)
+    assert np.isfinite(img).all()
+    # real generators produce structured images in roughly [-1, 1]
+    assert 0.05 < img.std() < 1.5, img.std()
+    assert np.abs(img).max() < 4.0
+    img2 = np.asarray(model(params, _z(model)))
+    np.testing.assert_array_equal(img, img2)  # deterministic
+
+
+@pytest.mark.parametrize("domain", sorted(PROGGAN_ZOO))
+def test_proggan_zoo_loads_and_renders(domain):
+    filename = PROGGAN_ZOO[domain]
+    if not _have(filename):
+        pytest.skip(f"{filename} not in $REWRITING_TPU_WEIGHTS")
+    model, params = load_proggan(domain)
+    img = np.asarray(model(params, _z(model)))
+    assert img.shape[0] == 1 and img.shape[-1] == 3
+    assert np.isfinite(img).all()
+    assert 0.05 < img.std() < 1.5, img.std()
+
+
+# ---------------------------------------------------------------------------
+# output fidelity vs the reference torch code on the same checkpoint
+# ---------------------------------------------------------------------------
+
+def _ref_stylegan_module():
+    """Import the reference SeqStyleGAN2 with CPU op fallbacks (reuses the
+    shims in scripts/make_goldens.py)."""
+    import importlib.util
+    import sys
+    spec = importlib.util.spec_from_file_location(
+        "make_goldens",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "make_goldens.py"))
+    mg = importlib.util.module_from_spec(spec)
+    sys.modules["make_goldens"] = mg
+    spec.loader.exec_module(mg)
+    return mg
+
+
+@requires("stylegan2_church.pt")
+def test_stylegan2_church_matches_reference_torch():
+    import torch
+    mg = _ref_stylegan_module()
+    import types
+    import importlib.util
+    import sys
+    op_stub = types.ModuleType("refsg2.op")
+    op_stub.upfirdn2d = mg.upfirdn2d
+    op_stub.fused_leaky_relu = mg.fused_leaky_relu
+    op_stub.FusedLeakyReLU = mg.FusedLeakyReLU
+    pkg = types.ModuleType("refsg2")
+    pkg.__path__ = [str(mg.REF / "utils" / "stylegan2")]
+    pkg.op = op_stub
+    sys.modules["refsg2"] = pkg
+    sys.modules["refsg2.op"] = op_stub
+    spec = importlib.util.spec_from_file_location(
+        "refsg2.models", mg.REF / "utils" / "stylegan2" / "models.py")
+    models = importlib.util.module_from_spec(spec)
+    sys.modules["refsg2.models"] = models
+    spec.loader.exec_module(models)
+
+    def noise_forward(self, data):
+        image = data.fmap
+        batch, _, height, width = image.shape
+        noise = np.random.RandomState(0).randn(
+            batch, height * width).astype("float32")
+        noise = torch.from_numpy(noise).view(batch, 1, height, width)
+        return models.DataBag(data, fmap=image + self.weight * noise)
+    models.NoiseInjectionF.forward = noise_forward
+
+    sd = torch.load(os.path.join(WD, "stylegan2_church.pt"),
+                    map_location="cpu", weights_only=False)
+    latent_avg = sd.get("latent_avg")
+    ref = models.SeqStyleGAN2(size=256, style_dim=512, n_mlp=8,
+                              truncation=0.5, mconv="seq")
+    ref.load_state_dict(sd["g_ema"], latent_avg=latent_avg)
+    if latent_avg is not None:
+        ref.latents.latent_avg = torch.as_tensor(latent_avg)
+    ref.eval()
+
+    model, params = load_seq_stylegan("church", truncation=0.5)
+    z = np.asarray(_z(model))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(z)).numpy()
+    from rewriting_tpu.ops.precision import set_precision
+    set_precision("highest")
+    got = np.transpose(np.asarray(model(params, jnp.asarray(z))),
+                       (0, 3, 1, 2))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-4)
+
+
+@requires(PROGGAN_ZOO["church"])
+def test_proggan_church_matches_reference_torch():
+    import importlib.util
+    import torch
+    spec = importlib.util.spec_from_file_location(
+        "ref_proggan", "/root/reference/utils/proggan.py")
+    refpg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refpg)
+    sd = torch.load(os.path.join(WD, PROGGAN_ZOO["church"]),
+                    map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    ref = refpg.from_state_dict(sd)
+    ref.eval()
+    model, params = load_proggan("church")
+    z = np.asarray(_z(model))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(z).view(1, -1, 1, 1)).numpy()
+    from rewriting_tpu.ops.precision import set_precision
+    set_precision("highest")
+    got = np.transpose(np.asarray(model(params, jnp.asarray(z))),
+                       (0, 3, 1, 2))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# FID with the real Inception checkpoint
+# ---------------------------------------------------------------------------
+
+@requires("pt_inception-2015-12-05.pth")
+def test_fid_real_inception_self_consistency():
+    from rewriting_tpu.metrics.fid import (FeatureExtractor,
+                                           calculate_frechet_distance,
+                                           compute_feature_stats)
+    fe = FeatureExtractor(batch_size=16)
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, (48, 64, 64, 3)).astype(np.float32)
+    feats = fe(imgs[:16])
+    assert feats.shape == (16, 2048) and np.isfinite(feats).all()
+    np.testing.assert_allclose(np.asarray(fe(imgs[:16])), feats, atol=1e-4)
+    mu_a, s_a = compute_feature_stats([imgs[:24], imgs[24:]], fe)
+    fid_aa = calculate_frechet_distance(mu_a, s_a, mu_a, s_a)
+    assert abs(fid_aa) < 1e-3, fid_aa
+    shifted = np.clip(imgs + 0.5, -1, 1)
+    mu_b, s_b = compute_feature_stats([shifted[:24], shifted[24:]], fe)
+    fid_ab = calculate_frechet_distance(mu_a, s_a, mu_b, s_b)
+    assert fid_ab > 1.0, fid_ab
+
+
+# ---------------------------------------------------------------------------
+# segmenter with released unified-parsing weights
+# ---------------------------------------------------------------------------
+
+@requires("upp", "encoder_epoch_40.pth")
+@requires("stylegan2_church.pt")
+def test_upernet_real_weights_labels_church():
+    from rewriting_tpu.segment import load_segmenter
+    seg, labels = load_segmenter("netp")
+    model, params = load_seq_stylegan("church", truncation=0.5)
+    img = np.asarray(model(params, _z(model, seed=1)))
+    out = seg.segment_batch(jnp.asarray(np.clip(img, -1, 1)))
+    objmap = np.asarray(out)[0, 0]
+    areas = np.bincount(objmap.reshape(-1), minlength=len(labels))
+    top = [labels[i] for i in np.argsort(-areas)[:5]]
+    assert any(name in top for name in ("building", "sky", "tree")), top
+
+
+# ---------------------------------------------------------------------------
+# LPIPS with real VGG16 features
+# ---------------------------------------------------------------------------
+
+@requires("vgg16_features.pth")
+def test_lpips_real_vgg_monotone():
+    from rewriting_tpu.metrics.distances import PerceptualLoss
+    loss = PerceptualLoss()
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    d0 = float(np.mean(np.asarray(loss(a, a))))
+    assert abs(d0) < 1e-5, d0
+    prev = d0
+    for amp in (0.05, 0.2, 0.6):
+        b = np.clip(a + amp * rng.randn(*a.shape).astype(np.float32),
+                    -1, 1)
+        d = float(np.mean(np.asarray(loss(a, b))))
+        assert d > prev, (amp, d, prev)
+        prev = d
+
+
+# ---------------------------------------------------------------------------
+# published edit-request masks drive an edit end to end
+# ---------------------------------------------------------------------------
+
+@requires("stylegan2_church.pt")
+def test_published_mask_drives_edit():
+    masks_dir = os.environ.get("REWRITING_TPU_MASKS", "masks")
+    path = os.path.join(masks_dir, "church", "dome2spire.json")
+    ref_path = "/root/reference/notebooks/masks/stylegan/church/snt.json"
+    for candidate in (path, ref_path):
+        if os.path.isfile(candidate):
+            path = candidate
+            break
+    else:
+        pytest.skip("no published church edit-request json available")
+    with open(path) as f:
+        request = json.load(f)
+    from rewriting_tpu.rewrite import SeqStyleGanRewriter
+    from rewriting_tpu.utils.zdataset import z_dataset_for_model
+    model, params = load_seq_stylegan("church", truncation=0.5)
+    zds = z_dataset_for_model(model, 100)
+    gw = SeqStyleGanRewriter(model, params, zds, layernum=8,
+                             stats_batch_size=10)
+    imgnum = request["paste"][0]
+    before = np.asarray(gw.render_image(imgnum), np.float32)
+    gw.apply_edit(request, rank=1, niter=101, piter=10, lr=0.05)
+    after = np.asarray(gw.render_image(imgnum), np.float32)
+    assert np.abs(after - before).max() > 8.0  # visible change
