@@ -26,10 +26,22 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_distinct(fn, zs, *args, iters=10):
+    """Pipelined timing over pre-materialized DISTINCT inputs: keeps
+    dispatch pipelining (steady-state throughput) while ruling out any
+    identical-execution caching in the remote runtime."""
+    out = fn(zs[0], *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
+    jax.block_until_ready(outs[-1])
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="sample",
-                    choices=["sample", "solve", "segments"])
+                    choices=["sample", "solve", "segments", "variants"])
     ap.add_argument("--precision", default="high")
     args = ap.parse_args()
 
@@ -39,17 +51,22 @@ def main():
     if args.what == "segments":
         segments()
         return
+    if args.what == "variants":
+        variants()
+        return
     if args.what == "sample":
         set_precision(args.precision)
         model = SeqStyleGAN2(size=256)
         params = model.init_params(jax.random.PRNGKey(0))
-        for batch in (64, 128, 256):
-            z = jax.random.normal(jax.random.PRNGKey(1), (batch, 512))
+        for batch in (64, 128):
+            zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
+                  for i in range(4)]
+            jax.block_until_ready(zs)
             noise = model.prepare_noise(batch)
             for fused in (False, True):
-                fwd = jax.jit(lambda p, z, n, f=fused: model(p, z, n,
+                fwd = jax.jit(lambda z, p, n, f=fused: model(p, z, n,
                                                              fused=f))
-                dt = timeit(fwd, params, z, noise)
+                dt = timeit_distinct(fwd, zs, params, noise)
                 print(json.dumps({
                     "what": "sample", "batch": batch, "fused": fused,
                     "precision": args.precision,
@@ -129,6 +146,39 @@ def segments():
         prev = dt
     for r in results:
         print(json.dumps(r), flush=True)
+
+
+
+def variants():
+    """One-change-at-a-time e2e variants at HIGH precision."""
+    set_precision("high")
+    model = SeqStyleGAN2(size=256)
+    params = model.init_params(jax.random.PRNGKey(0))
+    for batch in (96, 160):
+        zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
+              for i in range(4)]
+        jax.block_until_ready(zs)
+        noise = model.prepare_noise(batch)
+        fwd = jax.jit(lambda z, p, n: model(p, z, n))
+        dt = timeit_distinct(fwd, zs, params, noise)
+        print(json.dumps({"variant": f"seq_batch{batch}",
+                          "img_per_sec": round(batch / dt, 1)}), flush=True)
+    # fused only on the last upsample layer (64-ch, worst lane waste)
+    keep = {k: v for k, v in model._fused_overrides.items()
+            if k.startswith("layer13.")}
+    from rewriting_tpu.core import Stage, StagePipeline
+    pipe13 = StagePipeline([
+        Stage(s.name, keep.get(s.name, s.fn))
+        for s in model.pipeline.stages])
+    batch = 64
+    zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
+          for i in range(4)]
+    noise = model.prepare_noise(batch)
+    fwd13 = jax.jit(lambda z, p, n: pipe13(p, model.make_bag(z, n))[
+        "output"])
+    dt = timeit_distinct(fwd13, zs, params, noise)
+    print(json.dumps({"variant": "subpixel_layer13_only_b64",
+                      "img_per_sec": round(batch / dt, 1)}), flush=True)
 
 
 if __name__ == "__main__":

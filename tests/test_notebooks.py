@@ -1,0 +1,32 @@
+"""Headless notebook execution: both shipped notebooks run end-to-end on
+their checkpoint-free fallback paths (tiny random models), so the
+interactive workflow (SURVEY §3.5) stays executable without weights."""
+
+import os
+
+import nbformat
+import pytest
+from nbclient import NotebookClient
+
+NB_DIR = os.path.join(os.path.dirname(__file__), "..", "notebooks")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["rewriting-interface",
+                                  "reflection-rule-change"])
+def test_notebook_executes(name, tmp_path):
+    nb = nbformat.read(os.path.join(NB_DIR, f"{name}.ipynb"),
+                       as_version=4)
+    # force-CPU jax before anything else in the kernel
+    setup = nbformat.v4.new_code_cell(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, os\n"
+        f"sys.path.insert(0, {os.path.abspath(os.path.join(NB_DIR, '..'))!r})\n"
+        f"os.chdir({str(tmp_path)!r})\n")
+    nb.cells.insert(0, setup)
+    client = NotebookClient(nb, timeout=1200, kernel_name="python3")
+    client.execute()  # raises CellExecutionError on any failure
+    ran = [c for c in nb.cells if c.cell_type == "code"
+           and c.get("outputs") is not None]
+    assert len(ran) >= 4

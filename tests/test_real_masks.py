@@ -1,6 +1,6 @@
-"""Integration with the published edit-request JSONs: decode the real
-painted mask data URLs and run the erase flow with them (skipped when the
-reference data mount is absent)."""
+"""Integration with the published edit-request JSONs (vendored data corpus
+at notebooks/masks/, see its README): decode the real painted mask data
+URLs and run the erase flow with them."""
 
 import json
 import os
@@ -8,11 +8,10 @@ import os
 import numpy as np
 import pytest
 
-REF_MASKS = "/root/reference/notebooks/masks"
+REF_MASKS = os.path.join(os.path.dirname(__file__), "..", "notebooks",
+                         "masks")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_MASKS),
-    reason="published mask data not mounted")
+
 
 
 def test_decode_published_masks():

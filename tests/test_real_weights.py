@@ -253,7 +253,8 @@ def test_lpips_real_vgg_monotone():
 def test_published_mask_drives_edit():
     masks_dir = os.environ.get("REWRITING_TPU_MASKS", "masks")
     path = os.path.join(masks_dir, "church", "dome2spire.json")
-    ref_path = "/root/reference/notebooks/masks/stylegan/church/snt.json"
+    ref_path = os.path.join(os.path.dirname(__file__), "..", "notebooks",
+                            "masks", "stylegan", "church", "snt.json")
     for candidate in (path, ref_path):
         if os.path.isfile(candidate):
             path = candidate
