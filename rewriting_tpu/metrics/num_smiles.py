@@ -36,11 +36,12 @@ def count_smiles(image_dir: str, n: int = 10000, batch_size: int = 16,
     return total
 
 
-def mouth_heuristic_classifier():
+def mouth_heuristic_classifier(params=None):
     """Face-parser-based fallback: counts faces whose 'mouth' (inner mouth)
-    class is visibly segmented."""
+    class is visibly segmented. `params` overrides the released face-parser
+    checkpoint (tests pass random weights)."""
     from ..segment.faceparse import FACE_CLASSES, FaceSegmenter
-    seg = FaceSegmenter()
+    seg = FaceSegmenter(params=params)
     mouth = FACE_CLASSES.index("mouth")
 
     def classify(images):

@@ -192,45 +192,55 @@ def _make_blur(blur_kernel, pad, upsample_factor):
     return fn
 
 
-def _make_fused_up_dconv(in_c, out_c, kernel_size, demodulate, blur_kernel,
-                         blur_pad):
-    """Upsampling dconv with the FIR blur folded into the transposed-conv
-    kernel at trace time: correlation-compose the flipped conv kernel with
-    the flipped blur kernel (one big MXU conv instead of conv + depthwise
-    FIR).  Exactly equals dconv -> blur (demod is a per-(batch, out)
-    scalar and commutes with the spatial-only blur)."""
+def _subpixel3_kernel(wf, out_c, in_c):
+    """(O, I, 3, 3) correlation taps -> (4O, I, 2, 2) subpixel phase
+    kernels for a stride-2 transposed conv (pad k-1).
+
+    The dilated conv's output y[s] = sum_b xd[s+b-2]*wf[b] (xd = 2x
+    zero-dilated input) splits by output parity p = s mod 2 into two
+    3-to-2-tap correlations over the UNdilated input:
+    p=0 taps [wf0, wf2] at {u-1, u}; p=1 taps [0, wf1] at {u}.  One conv
+    with 4O phase channels at input resolution does 2.25x fewer MACs than
+    the dense dilated conv XLA would otherwise emit, with full MXU lane
+    occupancy on the output channels."""
+    idx = jnp.array([[0, 2], [0, 1]])
+    msk = jnp.array([[1.0, 1.0], [0.0, 1.0]], wf.dtype)
+    ky = wf[:, :, idx, :] * msk[None, None, :, :, None]    # (O,I,2,2,3)
+    k = ky[:, :, :, :, idx] * msk[None, None, None, None]  # (O,I,p,ty,q,tx)
+    return k.transpose(2, 4, 0, 1, 3, 5).reshape(4 * out_c, in_c, 2, 2)
+
+
+def _make_subpixel_up_dconv(in_c, out_c, kernel_size, demodulate):
+    """Sampling fast path for the upsampling dconv: subpixel (phase)
+    decomposition instead of the zero-dilated conv (see _subpixel3_kernel).
+    Bit-equivalent math; the FIR blur stage that follows is unchanged.
+    (The previously-tried alternative — folding the blur into a 6x6
+    dilated kernel — measured 1.6x SLOWER on TPU because XLA computes
+    dilated convs dense, so k**2 growth dominates; see
+    scripts/bench_upconv.py.)"""
+    assert kernel_size == 3
     fan_in = in_c * kernel_size ** 2
     scale = 1.0 / math.sqrt(fan_in)
-    kb = np.asarray(make_kernel(blur_kernel)) * 4.0  # upsample gain 2**2
-    kb_flip = jnp.asarray(np.flip(kb, (0, 1)).copy())
-    pad_total = (kernel_size - 1 + blur_pad[0],
-                 kernel_size - 1 + blur_pad[1])
 
     def fn(params, d: DataBag) -> DataBag:
         w5 = params["weight"]
-        w = jnp.flip(w5[0], (-2, -1)) * scale          # (O, I, k, k)
-        # correlation composition = full convolution of the two kernels
-        kc = kernel_size + kb.shape[0] - 1
-        fused = lax.conv_general_dilated(
-            w.reshape(out_c * in_c, 1, kernel_size, kernel_size),
-            jnp.flip(kb_flip, (0, 1))[None, None],
-            window_strides=(1, 1),
-            padding=((kb.shape[0] - 1,) * 2, (kb.shape[1] - 1,) * 2),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=get_precision()).reshape(out_c, in_c, kc, kc)
+        wf = jnp.flip(w5[0], (-2, -1)) * scale         # correlation taps
+        kconv = _subpixel3_kernel(wf, out_c, in_c)
         x = d["fmap"]
-        out = lax.conv_general_dilated(
-            x, fused, window_strides=(1, 1),
-            padding=(pad_total, pad_total),
-            lhs_dilation=(2, 2),
+        ph = lax.conv_general_dilated(
+            x, kconv, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "OIHW", "NHWC"),
-            precision=get_precision())
+            precision=get_precision())                  # (B, h+1, w+1, 4O)
         if demodulate:
             style = d["style"]
             w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
             demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
                                       precision=get_precision()) + 1e-8)
-            out = out * demod[:, None, None, :]
+            ph = ph * jnp.tile(demod, (1, 4))[:, None, None, :]
+        b, hp, wp = ph.shape[:3]
+        t = ph.reshape(b, hp, wp, 2, 2, out_c)
+        t = t.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hp, 2 * wp, out_c)
+        out = t[:, :2 * hp - 1, :2 * wp - 1, :]         # (B, 2h+1, 2w+1, O)
         return DataBag(d, fmap=out)
     return fn
 
@@ -352,10 +362,7 @@ class SeqStyleGAN2:
                                  _make_blur(self.blur_kernel, (pad0, pad1),
                                             factor)))
                 self._fused_overrides[f"{prefix}.mconv.dconv"] = \
-                    _make_fused_up_dconv(in_c, out_c, 3, True,
-                                         self.blur_kernel, (pad0, pad1))
-                self._fused_overrides[f"{prefix}.mconv.blur"] = \
-                    lambda params, d: d
+                    _make_subpixel_up_dconv(in_c, out_c, 3, True)
             sub.append(Stage(f"{prefix}.noise", _noise_inject))
             self._param_specs[f"{prefix}.noise"] = ("noise_w",)
             sub.append(Stage(f"{prefix}.activate", _fused_lrelu_stage))
@@ -398,9 +405,9 @@ class SeqStyleGAN2:
 
         stages.append(Stage("output", _return_output))
         self.pipeline = StagePipeline(stages)
-        # fused sampling pipeline: identical math with the blur folded into
-        # the transposed conv (one MXU op); reads the SAME params, so edits
-        # apply to both pipelines
+        # sampling fast path: identical math with the upsampling dconvs
+        # subpixel-decomposed (2.25x fewer MACs than the dense dilated
+        # conv); reads the SAME params, so edits apply to both pipelines
         self.pipeline_fused = StagePipeline([
             Stage(s.name, self._fused_overrides.get(s.name, s.fn))
             for s in stages])

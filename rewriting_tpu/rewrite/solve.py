@@ -117,11 +117,13 @@ def _insert_scan(window_fn, weight0, goal_in, goal_out, direction,
 
     if nchunk:
         def chunk(carry, _):
-            losses = []
-            for _ in range(piter):
-                carry, l = adam_step(carry)
-                losses.append(l)
-            return (project(carry[0]), carry[1]), jnp.stack(losses)
+            # inner scan, not Python unrolling: a 10x-unrolled body of
+            # conv fwd+bwd pairs measured ~1.7x slower per iteration on
+            # TPU (scheduling/vmem pressure), while the nested scan keeps
+            # the per-step program small and still removes the cond
+            carry, losses = lax.scan(lambda c, _: adam_step(c), carry,
+                                     None, length=piter)
+            return (project(carry[0]), carry[1]), losses
 
         carry, chunk_losses = lax.scan(chunk, carry, None, length=nchunk)
         all_losses.append(chunk_losses.reshape(-1))

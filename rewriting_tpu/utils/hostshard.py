@@ -1,0 +1,90 @@
+"""Multi-host work-unit sharding for experiment pipelines.
+
+The reference scales across machines at the *job* level: each host loops
+over work units and claims them with pidfile locks (reference
+utils/pidfile.py + e.g. baselines/neural_best_buddies/script.sh, which
+shards per-image work by pid).  On a TPU pod the natural analog is the JAX
+multi-process runtime: every host runs the same program, discovers its
+``jax.process_index()``/``process_count()``, takes the strided slice of
+the work-unit list, and drops per-unit done-markers so restarts (elastic
+or preemption recovery) skip completed units on any host — done-markers
+are plain files, so they are multi-host-safe on any shared filesystem
+(NFS/GCS-fuse).
+
+Two layers compose:
+- ``shard_units``: deterministic strided assignment (no coordination);
+- ``claim_units``: optional lock-based work stealing for heterogeneous
+  hosts (wraps pidfile's lock + done protocol per unit).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+
+from . import pidfile
+
+
+def process_identity(process_index: Optional[int] = None,
+                     process_count: Optional[int] = None):
+    """(index, count) from explicit args, the JAX distributed runtime, or
+    the standard env fallbacks (JOB_COMPLETION_INDEX for indexed k8s jobs,
+    RANK/WORLD_SIZE for generic launchers)."""
+    if process_index is not None and process_count is not None:
+        return int(process_index), int(process_count)
+    try:
+        import jax
+        if jax.process_count() > 1:
+            return jax.process_index(), jax.process_count()
+    except Exception:
+        pass
+    env_i = os.environ.get("JOB_COMPLETION_INDEX", os.environ.get("RANK"))
+    env_n = os.environ.get("JOB_COMPLETION_COUNT",
+                           os.environ.get("WORLD_SIZE"))
+    if env_i is not None and env_n is not None:
+        return int(env_i), int(env_n)
+    return 0, 1
+
+
+def shard_units(units: Sequence, process_index: Optional[int] = None,
+                process_count: Optional[int] = None) -> List:
+    """Deterministic strided slice of the work-unit list for this host.
+    Strided (not blocked) so early units of every stride finish first and
+    partial runs cover the range uniformly."""
+    i, n = process_identity(process_index, process_count)
+    return list(units[i::n])
+
+
+def claim_units(units: Iterable, workdir: str,
+                unit_name: Callable = str,
+                redo: bool = False) -> Iterator:
+    """Lock-based work stealing over shared storage: yields each unit this
+    process successfully claims (skipping done/locked ones); the caller
+    must call ``mark_done(unit)`` — returned as ``(unit, mark_done)``
+    pairs — after completing it.  Restart-safe: done units are skipped,
+    stale locks from dead local pids are taken over (reference
+    pidfile.py:39-63 semantics per unit)."""
+    for unit in units:
+        d = os.path.join(workdir, unit_name(unit))
+        os.makedirs(d, exist_ok=True)
+        donefile = os.path.join(d, "done.txt")
+        if os.path.isfile(donefile) and not redo:
+            continue
+        if os.path.isfile(donefile):
+            os.remove(donefile)
+        lockpath = os.path.join(d, "lockfile.pid")
+        if pidfile.pidfile_taken(lockpath, verbose=False):
+            continue
+
+        def mark_done(d=d):
+            pidfile.mark_job_done(d)
+        try:
+            yield unit, mark_done
+        finally:
+            # release on resume: an un-marked unit becomes claimable again
+            # (a crash mid-unit leaves the lock; peers take it over via the
+            # stale-pid rule, pidfile.py:69-77)
+            try:
+                os.remove(lockpath)
+            except OSError:
+                pass

@@ -41,7 +41,7 @@ def timeit_distinct(fn, zs, *args, iters=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="sample",
-                    choices=["sample", "solve", "segments", "variants"])
+                    choices=["sample", "solve", "segments", "variants", "diagnose", "solve_once"])
     ap.add_argument("--precision", default="high")
     args = ap.parse_args()
 
@@ -53,6 +53,12 @@ def main():
         return
     if args.what == "variants":
         variants()
+        return
+    if args.what == "diagnose":
+        diagnose()
+        return
+    if args.what == "solve_once":
+        solve_once()
         return
     if args.what == "sample":
         set_precision(args.precision)
@@ -183,3 +189,81 @@ def variants():
 
 if __name__ == "__main__":
     main()
+
+
+def diagnose():
+    """Cost attribution diagnostics (NOT exact math): rgb path cost, vmem
+    compiler option, solve strategies."""
+    set_precision("high")
+    model = SeqStyleGAN2(size=256)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = 64
+    zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
+          for i in range(4)]
+    noise = model.prepare_noise(batch)
+
+    fwd = jax.jit(lambda z, p, n: model(p, z, n))
+    dt = timeit_distinct(fwd, zs, params, noise)
+    print(json.dumps({"diag": "baseline",
+                      "img_per_sec": round(batch / dt, 1)}), flush=True)
+
+    # (a) strip the rgb skip path: replace to_rgb*/up_rgb* with no-ops and
+    # emit the last fmap (diagnostic-only lower bound for the conv trunk)
+    from rewriting_tpu.core import Stage, StagePipeline
+    def noop(pfx):
+        return lambda p, d: d
+    trunk = StagePipeline([
+        Stage(s.name, noop(s.name)
+              if (".rgb" in s.name or s.name.startswith("up_rgb")
+                  or s.name == "output") else s.fn)
+        for s in model.pipeline.stages])
+    ftrunk = jax.jit(lambda z, p, n: trunk(p, model.make_bag(z, n))["fmap"])
+    dt = timeit_distinct(ftrunk, zs, params, noise)
+    print(json.dumps({"diag": "trunk_only(no_rgb)",
+                      "img_per_sec": round(batch / dt, 1)}), flush=True)
+
+    # (b) bigger scoped vmem
+    try:
+        fvm = jax.jit(lambda z, p, n: model(p, z, n),
+                      compiler_options={
+                          "xla_tpu_scoped_vmem_limit_kib": "65536"})
+        dt = timeit_distinct(fvm, zs, params, noise)
+        print(json.dumps({"diag": "vmem64m",
+                          "img_per_sec": round(batch / dt, 1)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"diag": "vmem64m", "error": str(e)[:200]}),
+              flush=True)
+
+
+def solve_once():
+    from rewriting_tpu.rewrite.solve import insert_solve
+    set_precision("high")
+    model = SeqStyleGAN2(size=256)
+    params = model.init_params(jax.random.PRNGKey(0))
+    layer = "layer8.sconv"
+    window = model.pipeline.subsequence(
+        first_layer=f"{layer}.mconv.dconv", last_layer=f"{layer}.activate")
+    wkey = f"{layer}.mconv.dconv"
+    w0 = params[wkey]["weight"]
+    rng = np.random.RandomState(0)
+    in_c = w0.shape[2]
+    from rewriting_tpu.core import DataBag as DB
+    bag = DB(fmap=jnp.asarray(rng.randn(1, 32, 32, in_c), jnp.float32),
+             style=jnp.asarray(rng.randn(1, in_c), jnp.float32))
+    goal_out = jnp.asarray(rng.randn(1, 32, 32, w0.shape[1]), jnp.float32)
+
+    def window_fn(w, goal):
+        b, p = goal
+        p = dict(p)
+        p[wkey] = {**p[wkey], "weight": w}
+        return window(p, b)["fmap"]
+
+    direction = jnp.asarray(rng.randn(1, in_c), jnp.float32)
+    direction = direction / jnp.linalg.norm(direction)
+    insert_solve(window_fn, w0, (bag, params), goal_out, direction,
+                 niter=2001, piter=10, lr=0.05)
+    _, _, ms = insert_solve(window_fn, w0, (bag, params), goal_out,
+                            direction, niter=2001, piter=10, lr=0.05,
+                            return_timing=True)
+    print(json.dumps({"what": "insert_innerscan", "ms": round(ms, 1)}),
+          flush=True)

@@ -169,3 +169,86 @@ def test_show_html():
                     {"k": "v"})
     assert "hello" in out and "img src=\"data:image/png" in out
     assert "<table>" in out
+
+
+# ---------------------------------------------------------------------------
+# multi-host job sharding (utils/hostshard.py + metrics/experiments.py DAG)
+# ---------------------------------------------------------------------------
+
+def test_shard_units_strided_and_env(monkeypatch):
+    from rewriting_tpu.utils import hostshard
+    units = list(range(10))
+    assert hostshard.shard_units(units, 0, 3) == [0, 3, 6, 9]
+    assert hostshard.shard_units(units, 2, 3) == [2, 5, 8]
+    # union over hosts covers everything exactly once
+    all_units = sum((hostshard.shard_units(units, i, 3)
+                     for i in range(3)), [])
+    assert sorted(all_units) == units
+    monkeypatch.setenv("RANK", "1")
+    monkeypatch.setenv("WORLD_SIZE", "2")
+    assert hostshard.process_identity() == (1, 2)
+
+
+def test_claim_units_done_markers(tmp_path):
+    from rewriting_tpu.utils import hostshard
+    ran = []
+    for unit, mark in hostshard.claim_units(["a", "b", "c"],
+                                            str(tmp_path)):
+        ran.append(unit)
+        if unit != "b":
+            mark()  # 'b' left incomplete
+    assert ran == ["a", "b", "c"]
+    # restart: only the incomplete unit is reclaimed
+    ran2 = [u for u, m in hostshard.claim_units(["a", "b", "c"],
+                                                str(tmp_path))]
+    assert ran2 == ["b"]
+
+
+def test_experiments_dag_two_hosts(tmp_path):
+    """The experiment DAG runs to completion across two simulated hosts
+    with dependency ordering and no duplicated work."""
+    from rewriting_tpu.metrics import experiments
+    statedir = str(tmp_path / "exp")
+    log = {0: [], 1: []}
+
+    def make_runner(host):
+        def runner(cmd):
+            log[host].append(cmd)
+            return 0
+        return runner
+
+    # alternate hosts until the DAG drains (simulates concurrent hosts
+    # polling a shared statedir)
+    # one frontier-round per call, alternating hosts (simulates two hosts
+    # polling a shared statedir concurrently)
+    for _ in range(8):
+        experiments.run_pipeline(statedir, runner=make_runner(0),
+                                 process_index=0, process_count=2,
+                                 max_rounds=1)
+        experiments.run_pipeline(statedir, runner=make_runner(1),
+                                 process_index=1, process_count=2,
+                                 max_rounds=1)
+    all_cmds = log[0] + log[1]
+    assert len(all_cmds) == len(experiments.STAGES)  # no duplicates
+    assert len(log[0]) > 0 and len(log[1]) > 0      # both hosts worked
+    order = {cmd: i for i, cmd in enumerate(log[0])}
+    # dependency ordering within the global completion sequence: a stage's
+    # done-marker must exist before any dependent ran; spot-check via
+    # re-running -> nothing left
+    final = experiments.run_pipeline(statedir, runner=make_runner(0))
+    assert final == {}
+
+
+def test_experiments_failure_stops(tmp_path):
+    from rewriting_tpu.metrics import experiments
+    statedir = str(tmp_path / "exp")
+
+    def runner(cmd):
+        return 1 if "seg_stats" in cmd else 0
+
+    status = experiments.run_pipeline(statedir, runner=runner)
+    assert any(v.startswith("failed") for v in status.values())
+    # failed stage has no done marker -> retried on next run
+    failed = [k for k, v in status.items() if v.startswith("failed")][0]
+    import os
+    assert not os.path.isfile(os.path.join(statedir, failed, "done.txt"))

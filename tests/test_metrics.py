@@ -166,3 +166,47 @@ def test_sample_clean_writes_images(tmp_path):
         np.clip(np.asarray(model(params, z))[0], -1, 1), "zc", "byte")
     np.testing.assert_allclose(img.astype(int), direct.astype(int),
                                atol=1)
+
+
+# ---------------------------------------------------------------------------
+# num_smiles (reference metrics/num_smiles.py)
+# ---------------------------------------------------------------------------
+
+def test_count_smiles_with_injected_classifier(tmp_path):
+    """count_smiles streams an image directory through a pluggable
+    attribute classifier (the reference's SlimNet is external and
+    unvendored upstream too; any fn(images)->(B,) bool plugs in)."""
+    import PIL.Image
+    from rewriting_tpu.metrics.num_smiles import count_smiles
+    rng = np.random.RandomState(0)
+    smiling = {1, 3, 4}
+    for i in range(6):
+        arr = rng.randint(0, 100, (8, 8, 3), np.uint8)
+        if i in smiling:
+            arr[:, :, 0] = 250  # red-dominant marks a 'smile'
+        PIL.Image.fromarray(arr).save(tmp_path / f"{i}.png")
+
+    def classifier(images_zc):  # (B, H, W, 3) in [-1, 1]
+        return images_zc[:, :, :, 0].mean((1, 2)) > 0.5
+
+    # batch sizes that do and do not divide n (the tail-flush path)
+    assert count_smiles(str(tmp_path), n=6, batch_size=2,
+                        classifier=classifier) == 3
+    assert count_smiles(str(tmp_path), n=6, batch_size=4,
+                        classifier=classifier) == 3
+
+
+def test_mouth_heuristic_classifier_shapes():
+    """The face-parser fallback classifier runs end-to-end (random
+    weights: decisions are arbitrary but shapes/typing are pinned)."""
+    import jax
+    from rewriting_tpu.metrics.num_smiles import mouth_heuristic_classifier
+    from rewriting_tpu.segment.faceparse import BiSeNet
+
+    net = BiSeNet(n_classes=19)
+    params = net.init_params(jax.random.PRNGKey(0))
+    clf = mouth_heuristic_classifier(params=params)
+    rng = np.random.RandomState(1)
+    out = np.asarray(clf(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(
+        np.float32)))
+    assert out.shape == (2,) and out.dtype == bool
