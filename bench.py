@@ -1,16 +1,34 @@
-"""Benchmark: StyleGAN2-256 sampling throughput + rank-1 edit solve latency.
+"""Benchmark: sampling throughput across model scales + edit-solve latency.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline (BASELINE.md north star): 5000 img/s on a TPU v5p-8 for
-StyleGAN2-256 sampling == 625 img/s/chip; rank-1 edit solve < 1 s.
-vs_baseline is measured img/s/chip divided by 625.
+Headline (BASELINE.md north star): 5000 img/s StyleGAN2-256 sampling on a
+TPU v5p-8 == 625 img/s/chip; rank-1 edit solve < 1 s.  vs_baseline is the
+measured StyleGAN2-256 img/s/chip divided by 625.
+
+Extra rows (SURVEY.md §6 workload scales): StyleGAN2 at 512/1024, ProgGAN
+at 256, the batched 8-edit server configuration, and a small end-to-end
+sample->segment->FID-stats pipeline with a 10k-image extrapolation.
+
+Timing methodology: distinct pre-materialized inputs per dispatch, loop
+pipelined (block once at the end) — steady-state throughput with no
+possibility of identical-execution caching in the runtime.
 """
 
 import argparse
 import json
 import time
+
+
+def timeit_distinct(fn, inputs, *args, iters=10):
+    out = fn(inputs[0], *args)
+    import jax
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(inputs[i % len(inputs)], *args) for i in range(iters)]
+    jax.block_until_ready(outs[-1])
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -25,6 +43,9 @@ def main():
                          "(2e-4 vs torch golden on TPU); 'highest' = "
                          "bit-level fp32; 'default' = bf16 throughput")
     ap.add_argument("--edit-iters", type=int, default=2001)
+    ap.add_argument("--skip-scales", action="store_true",
+                    help="headline metrics only (skip 512/1024/proggan/"
+                         "pipeline rows)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -32,6 +53,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     import jax.numpy as jnp
     import numpy as np
     from rewriting_tpu.ops.precision import set_precision
@@ -51,18 +73,19 @@ def main():
 
     model = SeqStyleGAN2(size=size, style_dim=style_dim, n_mlp=n_mlp)
     params = model.init_params(jax.random.PRNGKey(0))
-    z = jax.random.normal(jax.random.PRNGKey(1), (batch, model.z_dim))
     noise = model.prepare_noise(batch)
 
-    def measure(prec):
+    def zbatches(m, b, n=4):
+        zs = [jax.random.normal(jax.random.PRNGKey(i), (b, m.z_dim))
+              for i in range(n)]
+        jax.block_until_ready(zs)
+        return zs
+
+    def measure(prec, m=model, p=params, b=batch, nz=noise, its=iters):
         set_precision(prec)
-        fwd = jax.jit(lambda p, z, n: model(p, z, n))
-        jax.block_until_ready(fwd(params, z, noise))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(params, z, noise)
-        jax.block_until_ready(out)
-        return batch * iters / (time.perf_counter() - t0)
+        fwd = jax.jit(lambda z, p, n: m(p, z, n))
+        dt = timeit_distinct(fwd, zbatches(m, b), p, nz, iters=its)
+        return b / dt
 
     rates = {}
     for prec in (["highest", "high", "default"] if not args.smoke
@@ -73,25 +96,35 @@ def main():
         from rewriting_tpu.ops.precision import cast_pytree
         set_precision("default")
         pc = cast_pytree(params, jnp.bfloat16)
-        zc = z.astype(jnp.bfloat16)
         nc = cast_pytree(noise, jnp.bfloat16)
-        fwd = jax.jit(lambda p, z, n: model(p, z, n))
-        jax.block_until_ready(fwd(pc, zc, nc))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(pc, zc, nc)
-        jax.block_until_ready(out)
-        rates["bf16_acts"] = batch * iters / (time.perf_counter() - t0)
+        fwd = jax.jit(lambda z, p, n: model(p, z, n))
+        zc = [z.astype(jnp.bfloat16) for z in zbatches(model, batch)]
+        dt = timeit_distinct(fwd, zc, pc, nc, iters=iters)
+        rates["bf16_acts"] = batch / dt
     set_precision(args.precision)
     img_per_sec = rates[args.precision]
     n_dev = jax.device_count()
     img_per_sec_chip = img_per_sec / n_dev
 
-    # rank-1 edit solve on a realistic window (layer8-style: 512ch conv +
-    # noise + act). Reference default workload: 2001 Adam iters, piter 10
-    # (ganrewrite.py:254-255).
-    # pick the second (non-upsampling) conv at its resolution so the window
-    # preserves spatial shape: layer8 = 32x32/512ch for the 256 model
+    # ---- other model scales (SURVEY §6: 512 cars, 1024 faces, ProgGAN) --
+    scales = {}
+    if not (args.smoke or args.skip_scales):
+        for sz, b in ((512, 16), (1024, 8)):
+            m = SeqStyleGAN2(size=sz)
+            p = m.init_params(jax.random.PRNGKey(0))
+            scales[f"stylegan2_{sz}_img_per_sec"] = round(
+                measure(args.precision, m, p, b, m.prepare_noise(b),
+                        its=max(4, iters // 2)), 1)
+        from rewriting_tpu.models import ProgressiveGenerator
+        pg = ProgressiveGenerator(resolution=256)
+        pp = pg.init_params(jax.random.PRNGKey(0))
+        fwd = jax.jit(lambda z, p: pg(p, z))
+        dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
+        scales["proggan_256_img_per_sec"] = round(64 / dt, 1)
+
+    # ---- rank-1 edit solve on a realistic window (layer8-style: 512ch
+    # conv + noise + act). Reference default workload: 2001 Adam iters,
+    # piter 10 (ganrewrite.py:254-255). ----
     layer = "layer8.sconv" if size >= 256 else "layer4.sconv"
     window = model.pipeline.subsequence(
         first_layer=f"{layer}.mconv.dconv", last_layer=f"{layer}.activate")
@@ -113,7 +146,6 @@ def main():
 
     direction = jnp.asarray(rng.randn(1, in_c), jnp.float32)
     direction = direction / jnp.linalg.norm(direction)
-    # compile
     insert_solve(window_fn, w0, (bag, params), goal_out, direction,
                  niter=edit_iters, piter=10, lr=0.05)
     _, _, edit_ms = insert_solve(window_fn, w0, (bag, params), goal_out,
@@ -124,7 +156,8 @@ def main():
     # loop; rewrite/solve.py fast_linear_insert_solve)
     import math
     from jax import lax
-    from rewriting_tpu.rewrite.solve import fast_linear_insert_solve
+    from rewriting_tpu.rewrite.solve import (_fast_linear_scan,
+                                             fast_linear_insert_solve)
     from rewriting_tpu.ops.precision import get_precision
     scale = 1.0 / math.sqrt(in_c * 9)
 
@@ -147,6 +180,77 @@ def main():
         conv_fn, tail_fn, bag, params, goal_out, w0, direction, scale,
         niter=edit_iters, use_demod=True, return_timing=True)
 
+    # ---- batched 8-edit server configuration: vmapped fast solves ----
+    n_edits = 8
+
+    def one(bag_in, gout, direction):
+        w, losses = _fast_linear_scan(conv_fn, tail_fn, (bag_in, params),
+                                      gout, w0, direction, scale,
+                                      edit_iters, 0.05, True)
+        return w, losses[-1]
+
+    bags = {k: jnp.repeat(v[None], n_edits, 0) for k, v in bag.items()}
+    gouts = jnp.asarray(rng.randn(n_edits, 1, res, res, w0.shape[1]),
+                        jnp.float32)
+    dirs = jnp.asarray(rng.randn(n_edits, 1, in_c), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    vsolve = jax.jit(jax.vmap(one, in_axes=({k: 0 for k in bags}, 0, 0)))
+    jax.block_until_ready(vsolve(bags, gouts, dirs))
+    t0 = time.perf_counter()
+    jax.block_until_ready(vsolve(bags, gouts, dirs))
+    batched_ms_per_edit = (time.perf_counter() - t0) * 1000.0 / n_edits
+
+    # ---- small end-to-end pipeline: sample -> save PNG -> segment ->
+    # FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
+    pipeline = {}
+    if not (args.smoke or args.skip_scales):
+        import shutil
+        import tempfile
+        from rewriting_tpu.metrics.sample import sample_clean
+        from rewriting_tpu.segment.faceparse import BiSeNet, FaceSegmenter
+        from rewriting_tpu.metrics.fid import (FeatureExtractor,
+                                               compute_feature_stats)
+        n_small = 256
+        tmpd = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            t0 = time.perf_counter()
+            sample_clean(model, params, tmpd, n=n_small, batch_size=batch)
+            t_sample = time.perf_counter() - t0
+            # segment the sampled batches (random-weight BiSeNet: the
+            # compute cost is weight-independent)
+            net = BiSeNet(n_classes=19)
+            seg = FaceSegmenter(params=net.init_params(
+                jax.random.PRNGKey(0)))
+            zs = zbatches(model, batch)
+            imgs = [np.asarray(model(params, z, noise)) for z in zs]
+            seg.segment_batch(jnp.asarray(np.clip(imgs[0], -1, 1)))
+            t0 = time.perf_counter()
+            done = 0
+            while done < n_small:
+                seg.segment_batch(jnp.asarray(np.clip(
+                    imgs[done // batch % len(imgs)], -1, 1)))
+                done += batch
+            t_seg = time.perf_counter() - t0
+            fe = FeatureExtractor(params=None, batch_size=batch,
+                                  allow_random=True)
+            fe(imgs[0])
+            t0 = time.perf_counter()
+            compute_feature_stats(imgs, fe)
+            t_fid = time.perf_counter() - t0
+            total = t_sample + t_seg + t_fid
+            pipeline = {
+                "pipeline_n_images": n_small,
+                "pipeline_sample_s": round(t_sample, 2),
+                "pipeline_segment_s": round(t_seg, 2),
+                "pipeline_fid_stats_s": round(t_fid * 256 / (len(imgs)
+                                                             * batch), 2),
+                "pipeline_total_s": round(total, 2),
+                "pipeline_10k_extrapolated_s": round(total * 10000
+                                                     / n_small, 1),
+            }
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
     print(json.dumps({
         "metric": "stylegan2_256_sampling" if not args.smoke
                   else "stylegan2_smoke_sampling",
@@ -160,12 +264,16 @@ def main():
         "precision": args.precision,
         "rank1_edit_solve_ms": round(edit_ms, 1),
         "rank1_fast_linear_solve_ms": round(fast_ms, 1),
+        "batched_8edit_ms_per_edit": round(batched_ms_per_edit, 1),
         "edit_iters": edit_iters,
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},
+        **scales,
+        **pipeline,
         "note": "baseline normalization: 5000 img/s on v5p-8 == 625/chip "
                 "on chips ~2.3x faster than this one; 'high' is the "
-                "fp32-tolerance parity mode (2e-4 vs torch golden)",
+                "fp32-tolerance parity mode (2e-4 vs torch golden); "
+                "timing uses distinct pipelined inputs",
     }))
 
 

@@ -187,9 +187,6 @@ def variants():
                       "img_per_sec": round(batch / dt, 1)}), flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
 
 def diagnose():
     """Cost attribution diagnostics (NOT exact math): rgb path cost, vmem
@@ -267,3 +264,7 @@ def solve_once():
                             return_timing=True)
     print(json.dumps({"what": "insert_innerscan", "ms": round(ms, 1)}),
           flush=True)
+
+
+if __name__ == "__main__":
+    main()
