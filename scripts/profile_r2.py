@@ -33,8 +33,11 @@ def timeit_distinct(fn, zs, *args, iters=10):
     out = fn(zs[0], *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
+    # IMPORTANT: hold references to every output — un-referenced results
+    # can be dropped/skipped by the async runtime (observed: impossible
+    # throughputs when outputs were overwritten in the loop)
     outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
-    jax.block_until_ready(outs[-1])
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -214,7 +217,8 @@ def diagnose():
               if (".rgb" in s.name or s.name.startswith("up_rgb")
                   or s.name == "output") else s.fn)
         for s in model.pipeline.stages])
-    ftrunk = jax.jit(lambda z, p, n: trunk(p, model.make_bag(z, n))["fmap"])
+    ftrunk = jax.jit(lambda z, p, n: jnp.mean(
+        trunk(p, model.make_bag(z, n))["fmap"]))
     dt = timeit_distinct(ftrunk, zs, params, noise)
     print(json.dumps({"diag": "trunk_only(no_rgb)",
                       "img_per_sec": round(batch / dt, 1)}), flush=True)
