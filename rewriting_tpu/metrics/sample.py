@@ -41,7 +41,8 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
                             "..", "utils", "lightbox.html")
     shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
     if sample_fn is None:
-        sample_fn = jax.jit(lambda p, z: model(p, z))
+        from ..ops.jitopts import tuned_jit
+        sample_fn = tuned_jit(lambda p, z: model(p, z))
     saver = SaveImagePool()
     for lo in pbar.pbar(range(0, n, batch_size)):
         nums = list(range(lo, min(lo + batch_size, n)))

@@ -211,7 +211,7 @@ def _subpixel3_kernel(wf, out_c, in_c):
 
 
 def _make_subpixel_up_dconv(in_c, out_c, kernel_size, demodulate):
-    """Sampling fast path for the upsampling dconv: subpixel (phase)
+    """Alternate formulation for the upsampling dconv: subpixel (phase)
     decomposition instead of the zero-dilated conv (see _subpixel3_kernel).
     Bit-equivalent math; the FIR blur stage that follows is unchanged.
     (The previously-tried alternative — folding the blur into a 6x6
@@ -320,8 +320,10 @@ class SeqStyleGAN2:
         stages: List[Stage] = [Stage("bag_in", _bag_in)]
         # specs used by init_params: name -> (kind, shapes...)
         self._param_specs: Dict[str, tuple] = {}
-        # sampling fast path: stage-fn overrides that fold the FIR blur
-        # into the upsampling conv (same params, same names)
+        # alternate sampling pipeline: subpixel-decomposed upsampling
+        # dconvs (same params, same names). NOTE: measured SLOWER than the
+        # sequential pipeline on v5e (docs/PERF_NOTES.md) — kept as the
+        # exact-math experimental alternate, not the production path.
         self._fused_overrides: Dict[str, object] = {}
 
         # style MLP (models.py:59-65)
@@ -405,9 +407,9 @@ class SeqStyleGAN2:
 
         stages.append(Stage("output", _return_output))
         self.pipeline = StagePipeline(stages)
-        # sampling fast path: identical math with the upsampling dconvs
-        # subpixel-decomposed (2.25x fewer MACs than the dense dilated
-        # conv); reads the SAME params, so edits apply to both pipelines
+        # alternate sampling pipeline: identical math with the upsampling
+        # dconvs subpixel-decomposed; reads the SAME params, so edits
+        # apply to both pipelines (slower on v5e — docs/PERF_NOTES.md)
         self.pipeline_fused = StagePipeline([
             Stage(s.name, self._fused_overrides.get(s.name, s.fn))
             for s in stages])
@@ -486,7 +488,8 @@ class SeqStyleGAN2:
                  fused: bool = False):
         """z (B, style_dim) -> NHWC image. Deterministic reference noise is
         passed as runtime inputs unless explicitly provided. fused=True
-        uses the blur-folded sampling fast path (identical math)."""
+        uses the subpixel-decomposed alternate pipeline (identical math;
+        measured slower on v5e — docs/PERF_NOTES.md)."""
         pipe = self.pipeline_fused if fused else self.pipeline
         return pipe(params, self.make_bag(z, noise))["output"]
 

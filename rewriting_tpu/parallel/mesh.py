@@ -45,7 +45,9 @@ def sharded_sampler(model, mesh: Mesh, axis: str = "data"):
     """jitted (params, z[, noise]) -> images with z/images sharded over the
     batch axis and params replicated."""
 
-    @jax.jit
+    from ..ops.jitopts import tuned_jit
+
+    @tuned_jit
     def sample(params, z, noise=None):
         images = (model(params, z, noise) if noise is not None
                   else model(params, z))

@@ -24,6 +24,16 @@ import optax
 from jax import lax
 
 
+def _solve_jit(fn, static_argnames):
+    """Backend-aware jit for the solve scans: on TPU, raise the scoped
+    vmem scratch limit to 64 MiB — measured 1149 ms -> 624 ms on the
+    default 2001-iter projected insert (v5e; the bigger scratch lets XLA
+    keep the weight/Adam state vmem-resident across the scan body).
+    Resolved lazily per backend so CPU tests run the plain jit."""
+    from ..ops.jitopts import tuned_jit
+    return tuned_jit(fn, static_argnames=static_argnames)
+
+
 def projected_conv(weight, direction):
     """Project conv weight onto the span of context directions along the
     input-channel axis. Weight is torch-ordered: (O,I,kh,kw) for ProgGAN or
@@ -72,7 +82,7 @@ def solve_spd(c_matrix, k):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit,
+    _solve_jit,
     static_argnames=("window_fn", "niter", "piter", "low_rank_insert",
                      "low_rank_gradient"))
 def _insert_scan(window_fn, weight0, goal_in, goal_out, direction,
@@ -178,7 +188,7 @@ def insert_solve(window_fn: Callable, weight0, goal_in, goal_out, direction,
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit,
+    _solve_jit,
     static_argnames=("conv_fn", "tail_fn", "niter", "use_demod"))
 def _fast_linear_scan(conv_fn, tail_fn, goal, goal_out, w0, direction,
                       scale: float, niter: int, lr: float,
@@ -266,7 +276,7 @@ def fast_linear_insert_solve(conv_fn, tail_fn, goal_in_bag, params,
 # linear_insert — learn Lambda with w1 = w0 + Lambda @ D
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("window_fn", "niter"))
+@functools.partial(_solve_jit, static_argnames=("window_fn", "niter"))
 def _linear_insert_scan(window_fn, weight0, goal_in, goal_out, direction,
                         niter: int, lr: float):
     rank = direction.shape[0]

@@ -44,7 +44,7 @@ def timeit_distinct(fn, zs, *args, iters=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="sample",
-                    choices=["sample", "solve", "segments", "variants", "diagnose", "solve_once"])
+                    choices=["sample", "solve", "segments", "variants", "diagnose", "solve_once", "solve_vmem"])
     ap.add_argument("--precision", default="high")
     args = ap.parse_args()
 
@@ -62,6 +62,9 @@ def main():
         return
     if args.what == "solve_once":
         solve_once()
+        return
+    if args.what == "solve_vmem":
+        solve_vmem()
         return
     if args.what == "sample":
         set_precision(args.precision)
@@ -268,6 +271,60 @@ def solve_once():
                             return_timing=True)
     print(json.dumps({"what": "insert_innerscan", "ms": round(ms, 1)}),
           flush=True)
+
+
+
+def solve_vmem():
+    """Insert solve with bigger scoped vmem."""
+    import functools
+    from rewriting_tpu.rewrite import solve as solve_mod
+    set_precision("high")
+    model = SeqStyleGAN2(size=256)
+    params = model.init_params(jax.random.PRNGKey(0))
+    layer = "layer8.sconv"
+    window = model.pipeline.subsequence(
+        first_layer=f"{layer}.mconv.dconv", last_layer=f"{layer}.activate")
+    wkey = f"{layer}.mconv.dconv"
+    w0 = params[wkey]["weight"]
+    rng = np.random.RandomState(0)
+    in_c = w0.shape[2]
+    from rewriting_tpu.core import DataBag as DB
+    bag = DB(fmap=jnp.asarray(rng.randn(1, 32, 32, in_c), jnp.float32),
+             style=jnp.asarray(rng.randn(1, in_c), jnp.float32))
+    goal_out = jnp.asarray(rng.randn(1, 32, 32, w0.shape[1]), jnp.float32)
+
+    def window_fn(w, goal):
+        b, p = goal
+        p = dict(p)
+        p[wkey] = {**p[wkey], "weight": w}
+        return window(p, b)["fmap"]
+
+    direction = jnp.asarray(rng.randn(1, in_c), jnp.float32)
+    direction = direction / jnp.linalg.norm(direction)
+    raw = solve_mod._insert_scan.__wrapped__
+    for name, opts in [("vmem128m", {"xla_tpu_scoped_vmem_limit_kib":
+                                     "131072"}),
+                       ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib":
+                                    "65536"})]:
+        try:
+            jitted = jax.jit(
+                raw, static_argnames=("window_fn", "niter", "piter",
+                                      "low_rank_insert",
+                                      "low_rank_gradient"),
+                compiler_options=opts)
+            w, _ = jitted(window_fn, w0, (bag, params), goal_out,
+                          direction, 2001, 10, 0.05, True, False)
+            jax.block_until_ready(w)
+            t0 = time.perf_counter()
+            w, _ = jitted(window_fn, w0, (bag, params), goal_out,
+                          direction, 2001, 10, 0.05, True, False)
+            jax.block_until_ready(w)
+            ms = (time.perf_counter() - t0) * 1e3
+            print(json.dumps({"solve_variant": name, "ms": round(ms, 1)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"solve_variant": name,
+                              "error": str(e)[:150]}), flush=True)
 
 
 if __name__ == "__main__":
