@@ -168,11 +168,21 @@ def main():
 
     direction = jnp.asarray(rng.randn(1, in_c), jnp.float32)
     direction = direction / jnp.linalg.norm(direction)
-    insert_solve(window_fn, w0, (bag, params), goal_out, direction,
-                 niter=edit_iters, piter=10, lr=0.05)
-    _, _, edit_ms = insert_solve(window_fn, w0, (bag, params), goal_out,
-                                 direction, niter=edit_iters, piter=10,
-                                 lr=0.05, return_timing=True)
+
+    def median_ms(run, k=3):
+        # two warmups: the first post-compile/cache-load execution carries
+        # one-time runtime overhead (~+70% observed); then median of k
+        run()
+        run()
+        times = []
+        for _ in range(k):
+            times.append(run())
+        times.sort()
+        return times[k // 2]
+
+    edit_ms = median_ms(lambda: insert_solve(
+        window_fn, w0, (bag, params), goal_out, direction,
+        niter=edit_iters, piter=10, lr=0.05, return_timing=True)[2])
 
     # fast low-rank-decomposed linear insert (full conv hoisted out of the
     # loop; rewrite/solve.py fast_linear_insert_solve)
@@ -195,12 +205,9 @@ def main():
     def tail_fn(p, b):
         return tail(p, b)
 
-    fast_linear_insert_solve(conv_fn, tail_fn, bag, params, goal_out, w0,
-                             direction, scale, niter=edit_iters,
-                             use_demod=True)
-    _, _, fast_ms = fast_linear_insert_solve(
+    fast_ms = median_ms(lambda: fast_linear_insert_solve(
         conv_fn, tail_fn, bag, params, goal_out, w0, direction, scale,
-        niter=edit_iters, use_demod=True, return_timing=True)
+        niter=edit_iters, use_demod=True, return_timing=True)[2])
 
     # ---- batched 8-edit server configuration: vmapped fast solves ----
     n_edits = 8
@@ -217,10 +224,12 @@ def main():
     dirs = jnp.asarray(rng.randn(n_edits, 1, in_c), jnp.float32)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     vsolve = jax.jit(jax.vmap(one, in_axes=({k: 0 for k in bags}, 0, 0)))
-    jax.block_until_ready(vsolve(bags, gouts, dirs))
-    t0 = time.perf_counter()
-    jax.block_until_ready(vsolve(bags, gouts, dirs))
-    batched_ms_per_edit = (time.perf_counter() - t0) * 1000.0 / n_edits
+
+    def run_batched():
+        t0 = time.perf_counter()
+        jax.block_until_ready(vsolve(bags, gouts, dirs))
+        return (time.perf_counter() - t0) * 1000.0
+    batched_ms_per_edit = median_ms(run_batched) / n_edits
 
     # ---- small end-to-end pipeline: sample -> save PNG -> segment ->
     # FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
@@ -235,8 +244,13 @@ def main():
         n_small = 256
         tmpd = tempfile.mkdtemp(prefix="bench_pipe_")
         try:
+            from rewriting_tpu.ops.jitopts import tuned_jit
+            sample_fn = tuned_jit(lambda p, z: model(p, z))
+            jax.block_until_ready(sample_fn(params, np.zeros(
+                (batch, model.z_dim), np.float32)))  # exclude compile
             t0 = time.perf_counter()
-            sample_clean(model, params, tmpd, n=n_small, batch_size=batch)
+            sample_clean(model, params, tmpd, n=n_small, batch_size=batch,
+                         sample_fn=sample_fn)
             t_sample = time.perf_counter() - t0
             # segment the sampled batches (random-weight BiSeNet: the
             # compute cost is weight-independent)
@@ -269,6 +283,9 @@ def main():
                 "pipeline_total_s": round(total, 2),
                 "pipeline_10k_extrapolated_s": round(total * 10000
                                                      / n_small, 1),
+                "pipeline_note": "sample stage is dominated by device->"
+                                 "host transfer through this image's axon "
+                                 "tunnel, not generation",
             }
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
