@@ -97,26 +97,43 @@ def run_pipeline(statedir: str = "results/experiments",
             break
         mine = hostshard.shard_units(ready, process_index, process_count)
         progressed = False
-        for (name, cmd, _), mark in hostshard.claim_units(
-                ((n, c, d) for n, c, d in mine), statedir,
-                unit_name=lambda s: s[0]):
-            if dry_run:
-                print("+", cmd)
+
+        def attempt(stages_subset):
+            nonlocal progressed
+            for (name, cmd, _), mark in hostshard.claim_units(
+                    list(stages_subset), statedir,
+                    unit_name=lambda s: s[0]):
+                if dry_run:
+                    print("+", cmd)
+                    mark()
+                    status[name] = "dry_run"
+                    progressed = True
+                    continue
+                ret = runner(cmd)
+                if ret != 0:
+                    status[name] = f"failed({ret})"
+                    print(f"stage {name} failed ({ret})", file=sys.stderr)
+                    return False
                 mark()
-                status[name] = "dry_run"
+                status[name] = "done"
                 progressed = True
-                continue
-            ret = runner(cmd)
-            if ret != 0:
-                status[name] = f"failed({ret})"
-                print(f"stage {name} failed ({ret})", file=sys.stderr)
-                return status
-            mark()
-            status[name] = "done"
-            progressed = True
+            return True
+
+        if not attempt(mine):
+            return status
         if not progressed:
-            # everything ready is another host's (or locked); our share of
-            # the DAG frontier is drained
+            # our strided share was empty or locked. The frontier shrinks
+            # as stages complete, so strided assignment over the CHANGING
+            # ready list is not stable — without stealing, a tail stage
+            # can be orphaned with every host exiting "successfully".
+            # Steal: try to claim ANY unclaimed ready stage (the per-unit
+            # locks arbitrate with concurrent hosts).
+            others = [s for s in ready if s not in mine]
+            if not attempt(others):
+                return status
+        if not progressed:
+            # every ready stage is done or actively held by a live peer;
+            # nothing left for this host
             break
     return status
 

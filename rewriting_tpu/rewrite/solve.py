@@ -105,6 +105,9 @@ def _insert_scan(window_fn, weight0, goal_in, goal_out, direction,
 
     carry = (weight0, opt.init(weight0))
 
+    if niter <= 0:
+        return weight0, jnp.zeros((0,), weight0.dtype)
+
     if not low_rank_insert:
         (w, _), losses = lax.scan(lambda c, _: adam_step(c), carry, None,
                                   length=niter, unroll=min(piter, 8))
@@ -139,13 +142,13 @@ def _insert_scan(window_fn, weight0, goal_in, goal_out, direction,
         all_losses.append(chunk_losses.reshape(-1))
 
     if rem:
-        tail = []
-        for _ in range(rem):
-            carry, l = adam_step(carry)
-            tail.append(l)
-        # final projection at it == niter-1
+        # tail of rem un-projected steps (scan, not Python-unrolled: a
+        # large piter would otherwise trace rem sequential conv pairs
+        # into the program), then the final it == niter-1 projection
+        carry, tail_losses = lax.scan(lambda c, _: adam_step(c), carry,
+                                      None, length=rem)
         carry = (project(carry[0]), carry[1])
-        all_losses.append(jnp.stack(tail))
+        all_losses.append(tail_losses)
 
     return carry[0], jnp.concatenate(all_losses)
 

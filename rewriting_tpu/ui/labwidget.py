@@ -486,9 +486,10 @@ class Menu(Widget):
         self.selection = selection
 
     def _options_html(self):
+        # the view reports selections as strings; compare as strings
         return "".join(
             f'<option value="{_html.escape(str(c))}"'
-            + (" selected" if c == self.selection else "")
+            + (" selected" if str(c) == str(self.selection) else "")
             + f'>{_html.escape(str(c))}</option>'
             for c in (self.choices or []))
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..utils import renormalize
 from .labwidget import (Button, Datalist, Div, Image, Label, Menu, Property,
-                        Textbox, Trigger, Widget)
+                        Textbox, Trigger, Widget, block_events)
 from .paintwidget import PaintWidget
 
 
@@ -125,6 +125,7 @@ class GanRewriteApp(Widget):
         for canvas in self.canvases[len(imgs):]:
             canvas.image = ""
             canvas.mask = ""
+        self.current_mask_item = None  # repaint cleared every mask
 
     def show_images(self, imgnums):
         self.canvas_imgnums = list(imgnums)[:self.num_canvases]
@@ -151,8 +152,10 @@ class GanRewriteApp(Widget):
 
     def _set_page(self, imgnums):
         self.canvas_imgnums = imgnums
-        self.imgnum_box.prop("value").value = ",".join(
-            str(i) for i in imgnums)  # sync text without re-triggering
+        # update the textbox (including the browser view) without
+        # re-triggering the change_numbers listener
+        with block_events():
+            self.imgnum_box.value = ",".join(str(i) for i in imgnums)
         self.repaint_canvas_array()
 
     def next_page(self):
@@ -258,10 +261,17 @@ class GanRewriteApp(Widget):
         """Sync the key-tray menu + summary div with the selections
         (reference repaint_key_tray, rewriteapp.py:171-195)."""
         imgnums = [i for i, _ in self.key_selections]
-        self.keytray_menu.choices = imgnums
-        if self.keytray_menu.selection not in imgnums:
-            self.keytray_menu.prop("selection").value = (
-                imgnums[-1] if imgnums else None)
+        with block_events():
+            self.keytray_menu.choices = imgnums
+            sel = self.keytray_menu.selection
+            # the browser sends selections as strings; tolerate both
+            try:
+                sel = int(sel)
+            except (TypeError, ValueError):
+                sel = None
+            if sel not in imgnums:
+                self.keytray_menu.selection = (imgnums[-1] if imgnums
+                                               else None)
         self.key_tray.innerHTML = " ".join(
             f'<span data-click="{i}">key:{i}</span>' for i in imgnums)
 
@@ -277,7 +287,8 @@ class GanRewriteApp(Widget):
         self.key_selections = [(i, m) for i, m in self.key_selections
                                if i != imgnum]
         if len(self.key_selections) != before:
-            self.keytray_menu.prop("selection").value = None
+            with block_events():
+                self.keytray_menu.selection = None
             self.repaint_key_tray()
             self.status = f"{len(self.key_selections)} context keys"
 
@@ -304,9 +315,12 @@ class GanRewriteApp(Widget):
         heatmaps inline (reference keytray_query/exec_query,
         rewriteapp.py:231-235, 389-404)."""
         k = k or self.num_canvases
-        if canvas_index is not None or self.current_mask_item is not None:
+        painted = (self.current_mask_item is not None
+                   and self.canvases[self.current_mask_item].mask)
+        if canvas_index is not None or painted:
             canvas_index = self._active_canvas(canvas_index)
             c = self.canvases[canvas_index]
+            assert c.mask, "paint a mask first"
             imgnum = self.canvas_imgnums[canvas_index]
             key = self.gw.query_key_from_selection(imgnum, c.mask)
         else:

@@ -28,8 +28,10 @@ from . import pidfile
 def process_identity(process_index: Optional[int] = None,
                      process_count: Optional[int] = None):
     """(index, count) from explicit args, the JAX distributed runtime, or
-    the standard env fallbacks (JOB_COMPLETION_INDEX for indexed k8s jobs,
-    RANK/WORLD_SIZE for generic launchers)."""
+    env pairs: REWRITING_TPU_SHARD/REWRITING_TPU_NUM_SHARDS, or
+    RANK/WORLD_SIZE (generic launchers).  Both halves of a pair must be
+    set (k8s indexed Jobs provide only JOB_COMPLETION_INDEX, so the count
+    must come from one of these — there is no standard count env var)."""
     if process_index is not None and process_count is not None:
         return int(process_index), int(process_count)
     try:
@@ -38,11 +40,11 @@ def process_identity(process_index: Optional[int] = None,
             return jax.process_index(), jax.process_count()
     except Exception:
         pass
-    env_i = os.environ.get("JOB_COMPLETION_INDEX", os.environ.get("RANK"))
-    env_n = os.environ.get("JOB_COMPLETION_COUNT",
-                           os.environ.get("WORLD_SIZE"))
-    if env_i is not None and env_n is not None:
-        return int(env_i), int(env_n)
+    for i_var, n_var in (("REWRITING_TPU_SHARD", "REWRITING_TPU_NUM_SHARDS"),
+                         ("RANK", "WORLD_SIZE")):
+        env_i, env_n = os.environ.get(i_var), os.environ.get(n_var)
+        if env_i is not None and env_n is not None:
+            return int(env_i), int(env_n)
     return 0, 1
 
 

@@ -83,11 +83,18 @@ def pidfile_taken(path: str, force: bool = False, verbose: bool = False):
             if verbose:
                 print(f"{path} held by {holder}")
             return holder or "unknown"
+    me = f"{socket.gethostname()}:{os.getpid()}"
     with os.fdopen(fd, "w") as f:
-        f.write(f"{socket.gethostname()}:{os.getpid()}\n")
+        f.write(me + "\n")
 
     def cleanup():
+        # ownership check: the lock may have been released early (e.g.
+        # hostshard.claim_units) and re-acquired by a peer since — never
+        # delete a lock we no longer hold
         try:
+            with open(path) as f:
+                if f.read().strip() != me:
+                    return
             os.remove(path)
         except OSError:
             pass

@@ -436,15 +436,6 @@ def make_dilated_resnet_golden():
     print("dilated resnet goldens:", [k for k in data if "feat_3" in k])
 
 
-if __name__ == "__main__":
-    make_dilated_resnet_golden()
-    make_segzoo_golden()
-    make_vgg_golden()
-    make_upfirdn_golden()
-    make_proggan_golden()
-    make_stylegan_golden()
-    make_bisenet_golden()
-    make_upernet_golden()
 
 
 # ---------------------------------------------------------------------------
@@ -529,3 +520,13 @@ def make_segzoo_golden():
     np.savez(OUT / "segzoo.npz", **data)
     print("segzoo goldens:",
           [k for k in data if k.endswith("feat_4") or k.endswith(".out")])
+
+if __name__ == "__main__":
+    make_dilated_resnet_golden()
+    make_segzoo_golden()
+    make_vgg_golden()
+    make_upfirdn_golden()
+    make_proggan_golden()
+    make_stylegan_golden()
+    make_bisenet_golden()
+    make_upernet_golden()

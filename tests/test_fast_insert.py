@@ -127,7 +127,7 @@ def _reference_insert_loop(window_fn, w0, goal_in, goal_out, direction,
 
 
 @pytest.mark.parametrize("niter,piter", [(1, 10), (7, 3), (13, 5),
-                                         (21, 10), (10, 4)])
+                                         (21, 10), (10, 4), (13, 50)])
 def test_insert_scan_matches_reference_loop(niter, piter):
     import jax.numpy as jnp
     from jax import lax
@@ -158,3 +158,25 @@ def test_insert_scan_matches_reference_loop(niter, piter):
                                    rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_insert_scan_niter_zero_noop():
+    import jax.numpy as jnp
+    from jax import lax
+    from rewriting_tpu.rewrite.solve import insert_solve
+    from rewriting_tpu.ops.precision import get_precision
+    rng = np.random.RandomState(0)
+    w0 = jnp.asarray(rng.randn(4, 3, 3, 3), jnp.float32)
+    x = jnp.asarray(rng.randn(1, 5, 5, 3), jnp.float32)
+    goal = jnp.asarray(rng.randn(1, 5, 5, 4), jnp.float32)
+    d = jnp.asarray(rng.randn(1, 3), jnp.float32)
+
+    def window_fn(w, goal_in):
+        return lax.conv_general_dilated(
+            goal_in, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision())
+
+    w, losses = insert_solve(window_fn, w0, x, goal, d, niter=0)
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w0))
+    assert np.asarray(losses).shape == (0,)

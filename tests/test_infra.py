@@ -252,3 +252,26 @@ def test_experiments_failure_stops(tmp_path):
     failed = [k for k, v in status.items() if v.startswith("failed")][0]
     import os
     assert not os.path.isfile(os.path.join(statedir, failed, "done.txt"))
+
+
+def test_experiments_orphan_stage_is_stolen(tmp_path):
+    """A tail stage whose strided index never lands on any host must be
+    stolen rather than orphaned (frontier shrinkage makes strided
+    assignment unstable)."""
+    from rewriting_tpu.metrics import experiments
+    stages = [("a", "cmd_a", ()), ("b", "cmd_b", ("a",)),
+              ("c", "cmd_c", ("a", "b"))]
+    statedir = str(tmp_path / "exp")
+    ran = []
+
+    def runner(cmd):
+        ran.append(cmd)
+        return 0
+
+    # host 1 of 2: its strided share of 1-element frontiers is always
+    # empty (ready[1::2] == []); stealing must still drain the DAG
+    status = experiments.run_pipeline(statedir, stages=stages,
+                                      runner=runner, process_index=1,
+                                      process_count=2)
+    assert ran == ["cmd_a", "cmd_b", "cmd_c"]
+    assert all(v == "done" for v in status.values())

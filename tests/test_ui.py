@@ -420,3 +420,17 @@ def test_app_pick_via_current_mask_item(app):
     assert app.current_mask_item == 2
     sel = app.pick_object()
     assert sel[0] == app.canvas_imgnums[2]
+
+
+def test_app_search_after_repaint_uses_key_selections(app):
+    """repaint clears every canvas mask; a later search() must not decode
+    the stale empty mask (falls back to the key tray)."""
+    h, w = app.gw.v_shape[1:3]
+    app.clear_keys()
+    app.canvases[0].set("mask", mask_to_url(blob(h, w, 3, 3, 2)),
+                        _from_view=True)
+    app.add_key(0)
+    app.search(0)          # repaints -> clears masks
+    assert app.current_mask_item is None
+    app.search()           # must use key_selections, not the empty mask
+    assert app.query_key is not None
