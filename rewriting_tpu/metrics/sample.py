@@ -33,14 +33,23 @@ def per_image_z(model, imgnums) -> np.ndarray:
 
 def sample_clean(model, params, outdir: str, n: int = 10000,
                  batch_size: int = 16, offset: int = 0,
-                 sample_fn=None) -> None:
-    """Write {outdir}/{imgnum}.png for imgnum in [0, n)."""
+                 sample_fn=None, mesh=None) -> None:
+    """Write {outdir}/{imgnum}.png for imgnum in [0, n).  With `mesh`,
+    generation is data-parallel over the device mesh (z sharded on the
+    batch axis; batch_size should be a multiple of the mesh size)."""
     import jax
     os.makedirs(outdir, exist_ok=True)
     lightbox = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "utils", "lightbox.html")
     shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
-    if sample_fn is None:
+    if sample_fn is None and mesh is not None:
+        import jax.numpy as jnp
+        from ..parallel import shard_batch, sharded_sampler
+        sharded = sharded_sampler(model, mesh)
+
+        def sample_fn(p, z):
+            return sharded(p, shard_batch(jnp.asarray(z), mesh))
+    elif sample_fn is None:
         from ..ops.jitopts import tuned_jit
         sample_fn = tuned_jit(lambda p, z: model(p, z))
     saver = SaveImagePool()
@@ -67,14 +76,20 @@ def main():  # pragma: no cover - CLI (reference sample.py:13-38)
     ap.add_argument("--n", type=int, default=10000)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--results", default="results/samples")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel generation over all devices")
     args = ap.parse_args()
     name = f"{args.dataset}_clean" + ("_fid" if args.fid_samples else "")
     outdir = reserve_dir(os.path.join(args.results, name))
     from ..models.zoo import load_seq_stylegan
     model, params = load_seq_stylegan(args.dataset, truncation=0.5)
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+        mesh = make_mesh()
     sample_clean(model, params, outdir, n=args.n,
                  batch_size=args.batch_size,
-                 offset=FID_OFFSET if args.fid_samples else 0)
+                 offset=FID_OFFSET if args.fid_samples else 0, mesh=mesh)
     mark_job_done(outdir)
 
 

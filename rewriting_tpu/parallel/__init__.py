@@ -1,5 +1,7 @@
-from .mesh import (make_mesh, shard_batch, replicate, sharded_sampler,
-                   sharded_second_moment, vmapped_multi_edit)
+from .mesh import (make_mesh, make_mesh_2d, shard_batch, replicate,
+                   sharded_sampler, sharded_second_moment,
+                   spatial_sharded_sampler, vmapped_multi_edit)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_sampler",
-           "sharded_second_moment", "vmapped_multi_edit"]
+__all__ = ["make_mesh", "make_mesh_2d", "shard_batch", "replicate",
+           "sharded_sampler", "sharded_second_moment",
+           "spatial_sharded_sampler", "vmapped_multi_edit"]

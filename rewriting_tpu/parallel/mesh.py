@@ -87,3 +87,35 @@ def vmapped_multi_edit(insert_fn, mesh: Mesh, axis: str = "data"):
             (weights0, goals_in, goals_out, directions))
         return vsolve(*sharded)
     return run
+
+
+def make_mesh_2d(n_data: int, n_spatial: int,
+                 axes=("data", "spatial")) -> Mesh:
+    """(data x spatial) mesh for batch + spatial sharding."""
+    devices = np.array(jax.devices()[:n_data * n_spatial]).reshape(
+        n_data, n_spatial)
+    return Mesh(devices, axes)
+
+
+def spatial_sharded_sampler(model, mesh: Mesh, axis_data: str = "data",
+                            axis_spatial: str = "spatial"):
+    """Sampler sharding BOTH the batch and the image-height axis over the
+    mesh — the scale-out design for the 1024px faces model whose per-image
+    activations dominate HBM (SURVEY.md §5 'long-context' note: the
+    reference has no sequence axis, its scale axes are batch x resolution).
+
+    Only the OUTPUT (and the dominant high-resolution fmaps, via
+    constraint propagation) is annotated; XLA's SPMD partitioner inserts
+    the halo exchanges the 3x3 convs/FIR blurs need at shard boundaries —
+    collectives ride ICI, no manual communication."""
+
+    from ..ops.jitopts import tuned_jit
+
+    out_sharding = NamedSharding(mesh, P(axis_data, axis_spatial))
+
+    @tuned_jit
+    def sample(params, z, noise=None):
+        images = (model(params, z, noise) if noise is not None
+                  else model(params, z))
+        return jax.lax.with_sharding_constraint(images, out_sharding)
+    return sample

@@ -54,3 +54,46 @@ def test_tally_conditional_topk():
     vals1, _ = ct.conditional(1).result()
     assert np.asarray(vals1).shape == (4, 3)
     assert float(np.asarray(vals1)[0].min()) > 0  # condition-1 rows only
+
+def test_spatial_sharded_sampler_matches_single_device():
+    """batch x height sharding over a 2x4 mesh: XLA inserts the conv/blur
+    halo exchanges; output must equal the unsharded forward exactly."""
+    import jax
+    import jax.numpy as jnp
+    from rewriting_tpu.models import SeqStyleGAN2
+    from rewriting_tpu.parallel import make_mesh_2d, spatial_sharded_sampler
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = SeqStyleGAN2(size=32, style_dim=32, n_mlp=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    noise = model.prepare_noise(4)
+    want = np.asarray(model(params, z, noise))
+
+    mesh = make_mesh_2d(2, 4)
+    zs = jax.device_put(z, NamedSharding(mesh, P("data")))
+    sampler = spatial_sharded_sampler(model, mesh)
+    got = sampler(params, zs, noise)
+    shard_shapes = {s.data.shape for s in got.addressable_shards}
+    assert shard_shapes == {(2, 8, 32, 3)}, shard_shapes  # B/2, H/4
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_sample_clean_on_mesh(tmp_path):
+    """The 10k-image sampling driver generates data-parallel over the
+    mesh and writes identical files to the single-device run."""
+    import jax
+    from rewriting_tpu.metrics.sample import sample_clean
+    from rewriting_tpu.models import ProgressiveGenerator
+    from rewriting_tpu.parallel import make_mesh
+
+    model = ProgressiveGenerator(sizes=[8, 8, 8])
+    params = model.init_params(jax.random.PRNGKey(0))
+    a, b = tmp_path / "single", tmp_path / "mesh"
+    sample_clean(model, params, str(a), n=10, batch_size=8)
+    sample_clean(model, params, str(b), n=10, batch_size=8,
+                 mesh=make_mesh(4))
+    for i in range(10):
+        pa = (a / f"{i}.png").read_bytes()
+        pb = (b / f"{i}.png").read_bytes()
+        assert pa == pb, f"image {i} differs"
