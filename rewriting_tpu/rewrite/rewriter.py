@@ -84,9 +84,10 @@ class GanRewriter:
                                             last_layer=self.lastlayer)
         self.rendering_pipe = pipe.subsequence(after_layer=self.lastlayer)
 
-        self._context = jax.jit(self.context_pipe.__call__)
-        self._target = jax.jit(self.target_pipe.__call__)
-        self._render = jax.jit(self.rendering_pipe.__call__)
+        from ..ops.jitopts import tuned_jit
+        self._context = tuned_jit(self.context_pipe.__call__)
+        self._target = tuned_jit(self.target_pipe.__call__)
+        self._render = tuned_jit(self.rendering_pipe.__call__)
 
         # stable-identity window fn for the jitted solve: only the target
         # weight is optimized; all other params ride along as traced inputs
@@ -251,21 +252,33 @@ class GanRewriter:
                 cachefile=self.rf("unit_cad.npz"))
         return self.cad_rq
 
+    def _key_response_fn(self):
+        """Memoized jitted (params, key, zbatch) -> (per-image max, flat
+        heat) — params/key as traced ARGUMENTS so repeated searches (and
+        searches after edits) reuse one compiled program instead of
+        burning the weights into a fresh compile each call."""
+        if not hasattr(self, "_key_response_jit"):
+            pipe, model = self.context_pipe, self.model
+            from ..ops.jitopts import tuned_jit
+
+            @tuned_jit
+            def image_max_sel(params, key, zbatch):
+                acts = pipe(params, model.make_bag(zbatch))["fmap"]
+                heat = jnp.sum(acts * key[None, None, None, :], axis=-1)
+                maxmap = heat.reshape(heat.shape[0], -1).max(axis=1)
+                return maxmap[:, None], heat.reshape(-1, 1)
+            self._key_response_jit = image_max_sel
+        return self._key_response_jit
+
     def ranking_for_key(self, key, k=12):
         """Top-k images by key response + quantile sketch of the heatmap
         (drives the UI 'Search'; reference :582-594)."""
         key = jnp.asarray(key)
-        params, pipe, model = self.params, self.context_pipe, self.model
-
-        @jax.jit
-        def image_max_sel(zbatch):
-            acts = pipe(params, model.make_bag(zbatch))["fmap"]
-            heat = jnp.sum(acts * key[None, None, None, :], axis=-1)
-            maxmap = heat.reshape(heat.shape[0], -1).max(axis=1)
-            return maxmap[:, None], heat.reshape(-1, 1)
+        fn = self._key_response_fn()
+        params = self.params
 
         topk, rq = tally.tally_topk_and_quantile(
-            image_max_sel, self.zds, k=k,
+            lambda zbatch: fn(params, key, zbatch), self.zds, k=k,
             batch_size=self.stats_batch_size)
         return topk.result()[1][0], rq
 
