@@ -24,7 +24,8 @@ def model_stats(model, params, n: int = N, batch_size: int = 50,
     from .sample import per_image_z
     if feature_fn is None:
         feature_fn = fid_mod.FeatureExtractor(batch_size=batch_size)
-    sample_fn = jax.jit(lambda p, z: model(p, z))
+    from ..ops.jitopts import tuned_jit
+    sample_fn = tuned_jit(lambda p, z: model(p, z))
 
     def batches():
         for lo in pbar.pbar(range(0, n, batch_size)):

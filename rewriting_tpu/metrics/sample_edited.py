@@ -28,7 +28,8 @@ def sample_edited(model, params, request: dict, layernum: int,
         tight_paste=tight_paste)
     gw.apply_edit(request, rank=rank, single_key=single_key)
     edited = gw.params
-    sample_fn = jax.jit(lambda p, z: model(p, z))
+    from ..ops.jitopts import tuned_jit
+    sample_fn = tuned_jit(lambda p, z: model(p, z))
     sample_clean(model, edited, outdir, n=n, batch_size=batch_size,
                  sample_fn=sample_fn)
     return gw

@@ -27,7 +27,8 @@ def save_zds_images(dirname: str, model, params, zds, batch_size: int = 10,
     (reference make_watermark_images.py:100-130)."""
     import jax
     os.makedirs(dirname, exist_ok=True)
-    sample_fn = jax.jit(lambda p, z: model(p, z))
+    from ..ops.jitopts import tuned_jit
+    sample_fn = tuned_jit(lambda p, z: model(p, z))
     saver = SaveImagePool()
     idxs = list(indices) if indices is not None else list(range(len(zds)))
     for lo in pbar.pbar(range(0, len(idxs), batch_size),
