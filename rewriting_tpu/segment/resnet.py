@@ -45,6 +45,7 @@ def basic_block(p: Dict, x, stride: int):
 # ---------------------------------------------------------------------------
 
 R50_LAYERS = [3, 4, 6, 3]
+R101_LAYERS = [3, 4, 23, 3]
 R50_PLANES = [64, 128, 256, 512]
 
 
@@ -63,14 +64,15 @@ def resnet50_features(params: Dict, x) -> List:
     return outs
 
 
-def init_resnet50(key) -> Dict:
+def init_resnet50(key, layers=None) -> Dict:
+    layers = layers or R50_LAYERS
     params: Dict = {}
     key, k1, k2, k3 = jax.random.split(key, 4)
     params["conv1"] = init_conv(k1, 64, 3, 3)
     params["conv2"] = init_conv(k2, 64, 64, 3)
     params["conv3"] = init_conv(k3, 128, 64, 3)
     in_c = 128
-    for li, (nblocks, planes) in enumerate(zip(R50_LAYERS, R50_PLANES)):
+    for li, (nblocks, planes) in enumerate(zip(layers, R50_PLANES)):
         blocks = []
         for bi in range(nblocks):
             key, ka, kb, kc, kd = jax.random.split(key, 5)
@@ -85,15 +87,17 @@ def init_resnet50(key) -> Dict:
     return params
 
 
-def resnet50_from_torch(sd: Dict, prefix: str = "") -> Dict:
-    """Convert the CSAIL resnet50 state dict (BN folded)."""
+def resnet50_from_torch(sd: Dict, prefix: str = "", layers=None) -> Dict:
+    """Convert a CSAIL deep-stem bottleneck-resnet state dict (BN folded);
+    `layers` selects the depth (default resnet50, R101_LAYERS for 101)."""
     p = prefix
+    layers = layers or R50_LAYERS
     params: Dict = {
         "conv1": fold_bn(sd, p + "conv1", p + "bn1"),
         "conv2": fold_bn(sd, p + "conv2", p + "bn2"),
         "conv3": fold_bn(sd, p + "conv3", p + "bn3"),
     }
-    for li, nblocks in enumerate(R50_LAYERS):
+    for li, nblocks in enumerate(layers):
         blocks = []
         for bi in range(nblocks):
             base = f"{p}layer{li + 1}.{bi}."

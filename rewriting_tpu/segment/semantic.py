@@ -18,7 +18,8 @@ import numpy as np
 from .nn import (adaptive_avg_pool, conv, fold_bn, init_conv, maxpool,
                  resize_bilinear)
 from .prroi import prroi_pool_full_image
-from .resnet import R50_LAYERS, R50_PLANES, init_resnet50, resnet50_from_torch
+from .resnet import (R50_LAYERS, R101_LAYERS, R50_PLANES, init_resnet50,
+                     resnet50_from_torch)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -50,18 +51,19 @@ def _dilated_bottleneck(p: Dict, x, stride: int, dilate: int,
     return jax.nn.relu(out + res)
 
 
-def resnet50_dilated_features(params: Dict, x, dilate_scale: int = 8
-                              ) -> List:
-    """CSAIL deep-stem resnet50 with layer3/layer4 dilated so the output
-    stride is `dilate_scale` (reference ResnetDilated, segmodel
-    models.py:209-270)."""
+def resnet50_dilated_features(params: Dict, x, dilate_scale: int = 8,
+                              layers=None) -> List:
+    """CSAIL deep-stem bottleneck resnet (50 by default, 101 via
+    `layers`) with layer3/layer4 dilated so the output stride is
+    `dilate_scale` (reference ResnetDilated, segmodel models.py:209-270)."""
+    layers = layers or R50_LAYERS
     x = conv(x, params["conv1"], stride=2, padding=1, relu=True)
     x = conv(x, params["conv2"], padding=1, relu=True)
     x = conv(x, params["conv3"], padding=1, relu=True)
     x = maxpool(x)
     dilations, strides = _layer_dilations(dilate_scale)
     outs = []
-    for li, nblocks in enumerate(R50_LAYERS):
+    for li, nblocks in enumerate(layers):
         for bi in range(nblocks):
             stride = strides[li] if bi == 0 else 1
             x = _dilated_bottleneck(params[f"layer{li + 1}"][bi], x,
@@ -421,6 +423,7 @@ class SemanticSegmenter:
     names what the vocab describes."""
 
     FC_DIMS = {"resnet50dilated": 2048, "resnet18dilated": 512,
+               "resnet101dilated": 2048, "resnet101": 2048,
                "mobilenetv2dilated": 320, "resnext101": 2048}
 
     def __init__(self, params: Dict, labels: Sequence[str],
@@ -429,7 +432,7 @@ class SemanticSegmenter:
                  imageformat: Optional[Dict] = None):
         self.labels = list(labels)
         self.segsizes = segsizes or [256]
-        if arch == "resnext101":
+        if arch in ("resnext101", "resnet101"):
             dilate_scale = 32  # undilated Resnet wrapper
         self.dilate_scale = dilate_scale
         self.arch = arch
@@ -452,6 +455,14 @@ class SemanticSegmenter:
     _ENCODERS = {
         "resnet50dilated": (resnet50_dilated_features,
                             lambda k: init_resnet50(k)),
+        "resnet101dilated": (
+            lambda p, x, d: resnet50_dilated_features(
+                p, x, d, layers=R101_LAYERS),
+            lambda k: init_resnet50(k, layers=R101_LAYERS)),
+        "resnet101": (
+            lambda p, x, d: resnet50_dilated_features(
+                p, x, d, layers=R101_LAYERS),
+            lambda k: init_resnet50(k, layers=R101_LAYERS)),
         "resnet18dilated": (resnet18_dilated_features,
                             lambda k: init_resnet18_deepstem(k)),
         "mobilenetv2dilated": (mobilenetv2_dilated_features,
