@@ -1,0 +1,78 @@
+"""Runtime detection for compiled Pallas support.
+
+Compiled Pallas kernels fault this image's experimental 'axon' TPU worker
+(it restarts, taking every process's device with it), so the kernels in
+pallas_upfirdn.py cannot simply be try/except-ed in process.  This probe
+runs a trivial Pallas kernel in a SUBPROCESS with a timeout: a crash,
+fault, or hang is contained, and the verdict is cached on disk so the
+(potentially destructive) experiment happens at most once per runtime.
+
+Policy: the probe only ever runs when REWRITING_TPU_TRY_PALLAS=1 — on an
+unknown runtime the default answer is False (use the XLA formulations,
+which are exact).  On a standard libtpu runtime set the env var once; the
+cached verdict then enables the kernels for every later process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_PROBE_SRC = r"""
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+def add_one(x_ref, o_ref):
+    o_ref[...] = x_ref[...] + 1.0
+
+x = jnp.zeros((8, 128), jnp.float32)
+out = pl.pallas_call(
+    add_one, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+assert float(out[0, 0]) == 1.0
+print("PALLAS_OK")
+"""
+
+_cached = None
+
+
+def _cache_path() -> str:
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    return os.path.join(base, "pallas_probe.json")
+
+
+def compiled_pallas_supported(timeout: float = 120.0) -> bool:
+    """True iff a compiled Pallas kernel ran successfully on this runtime
+    (probed in a subprocess, verdict cached). False unless
+    REWRITING_TPU_TRY_PALLAS=1 authorized the probe at least once."""
+    global _cached
+    if _cached is not None:
+        return _cached
+    path = _cache_path()
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                _cached = bool(json.load(f)["supported"])
+            return _cached
+        except Exception:
+            pass
+    if os.environ.get("REWRITING_TPU_TRY_PALLAS") != "1":
+        _cached = False  # do not risk faulting a shared worker unasked
+        return False
+    try:
+        proc = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                              capture_output=True, timeout=timeout,
+                              text=True)
+        ok = proc.returncode == 0 and "PALLAS_OK" in proc.stdout
+    except Exception:
+        ok = False
+    _cached = ok
+    try:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"supported": ok}, f)
+    except OSError:
+        pass
+    return ok

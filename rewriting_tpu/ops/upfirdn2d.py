@@ -175,6 +175,20 @@ def separable_taps(kernel_1d) -> tuple:
     return tuple(float(v) for v in k)
 
 
+def _pallas_eligible(x, kernel) -> bool:
+    """Use the Pallas FIR kernels for lane-friendly feature maps on
+    runtimes where the compiled-Pallas probe has passed (pallas_probe.py;
+    never on this image's axon runtime, where compiled Pallas faults the
+    worker — the XLA formulation is the verified default)."""
+    import jax as _jax
+    if isinstance(kernel, _jax.core.Tracer):
+        return False  # taps must be compile-time constants
+    if x.shape[-1] < 64 or x.shape[-1] % 8 != 0:
+        return False  # RGB/narrow maps stay on the XLA path
+    from .pallas_probe import compiled_pallas_supported
+    return compiled_pallas_supported()
+
+
 @functools.partial(jax.jit, static_argnames=("factor",))
 def upsample2d(x, kernel, factor: int = 2):
     """FIR upsample (reference Upsample, utils/stylegan2/models.py:435-447):
@@ -183,6 +197,10 @@ def upsample2d(x, kernel, factor: int = 2):
     p = kh - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
+    if factor == 2 and _pallas_eligible(x, kernel) and \
+            x.shape[1] * 2 + pad0 + pad1 - kh + 1 == 2 * x.shape[1]:
+        from .pallas_upfirdn import upsample2x_pallas
+        return upsample2x_pallas(x, np.asarray(kernel) * 4.0, (pad0, pad1))
     return upfirdn2d(x, kernel * (factor ** 2), up=factor, down=1,
                      pad=(pad0, pad1))
 
@@ -191,4 +209,7 @@ def blur2d(x, kernel, pad: Tuple[int, int], upsample_factor: int = 1):
     """FIR blur (reference Blur, utils/stylegan2/models.py:468-479)."""
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor ** 2)
+    if _pallas_eligible(x, kernel):
+        from .pallas_upfirdn import blur2d_pallas
+        return blur2d_pallas(x, np.asarray(kernel), pad)
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad)

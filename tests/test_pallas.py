@@ -37,3 +37,26 @@ def test_pallas_odd_sizes_interpret():
     ref = upfirdn2d(x, jnp.asarray(k), up=1, down=1, pad=(1, 1))
     np.testing.assert_allclose(np.asarray(blur), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_pallas_probe_gating(tmp_path, monkeypatch):
+    """The compiled-Pallas probe never runs unless authorized, caches its
+    verdict, and the FIR ops honor it."""
+    import rewriting_tpu.ops.pallas_probe as probe
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("REWRITING_TPU_TRY_PALLAS", raising=False)
+    probe._cached = None
+    assert probe.compiled_pallas_supported() is False  # no probe unasked
+    # a cached verdict short-circuits everything
+    import json
+    with open(tmp_path / "pallas_probe.json", "w") as f:
+        json.dump({"supported": True}, f)
+    probe._cached = None
+    assert probe.compiled_pallas_supported() is True
+    probe._cached = None  # reset for other tests
+
+    from rewriting_tpu.ops.upfirdn2d import _pallas_eligible
+    import jax.numpy as jnp
+    k = jnp.ones((4, 4)) / 16.0
+    x_rgb = jnp.zeros((1, 8, 8, 3))
+    assert not _pallas_eligible(x_rgb, k)  # narrow maps: XLA path
