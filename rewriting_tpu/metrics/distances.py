@@ -19,7 +19,8 @@ from ..utils import renormalize
 
 def _load_image(path: str) -> np.ndarray:
     import PIL.Image
-    img = np.asarray(PIL.Image.open(path).convert("RGB"), np.float32) / 255.
+    from ..native import read_image_rgb
+    img = read_image_rgb(path).astype(np.float32) / 255.
     return renormalize.renormalize(img, "pt", "zc")
 
 

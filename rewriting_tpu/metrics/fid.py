@@ -112,8 +112,9 @@ def _image_dir_batches(path: str, batch_size: int):
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
     batch = []
     for f in files:
-        img = np.asarray(PIL.Image.open(os.path.join(path, f))
-                         .convert("RGB"), np.float32) / 255.0
+        from ..native import read_image_rgb
+        img = read_image_rgb(os.path.join(path, f)).astype(
+            np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))
         if len(batch) == batch_size:
             yield np.stack(batch)

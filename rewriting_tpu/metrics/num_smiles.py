@@ -26,9 +26,9 @@ def count_smiles(image_dir: str, n: int = 10000, batch_size: int = 16,
     total = 0
     batch = []
     for i in pbar.pbar(range(n)):
-        img = np.asarray(PIL.Image.open(
-            os.path.join(image_dir, f"{i}.png")).convert("RGB"),
-            np.float32) / 255.0
+        from ..native import read_image_rgb
+        img = read_image_rgb(
+            os.path.join(image_dir, f"{i}.png")).astype(np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))
         if len(batch) == batch_size or i == n - 1:
             total += int(np.sum(classifier(np.stack(batch))))

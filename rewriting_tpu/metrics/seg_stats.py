@@ -43,9 +43,9 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
         nums.clear()
 
     for i in pbar.pbar(range(n)):
-        img = np.asarray(PIL.Image.open(
-            os.path.join(img_path, f"{i}.png")).convert("RGB"),
-            np.float32) / 255.0
+        from ..native import read_image_rgb
+        img = read_image_rgb(
+            os.path.join(img_path, f"{i}.png")).astype(np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))
         nums.append(i)
         if len(batch) == batch_size:

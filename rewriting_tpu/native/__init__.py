@@ -2,8 +2,9 @@
 fallbacks.
 
 Currently: a fast zlib-based PNG encoder for the metric pipelines' bulk
-image dumps (see pngenc.cpp).  Build lazily with g++ on first use; callers
-must handle ``encode_png is None`` (PIL fallback)."""
+image dumps (pngenc.cpp) and a matching decoder for their bulk reads
+(pngdec.cpp; baseline 8-bit grey/RGB/RGBA).  Built lazily with g++ on
+first use; callers must handle None returns (PIL fallback)."""
 
 from __future__ import annotations
 
@@ -89,3 +90,91 @@ def encode_png(arr: np.ndarray, level: int = 2):
 
 def native_available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_DEC_SO = os.path.join(_DIR, "_pngdec.so")
+_DEC_SRC = os.path.join(_DIR, "pngdec.cpp")
+_dec_lib = None
+_dec_failed = False
+
+
+def _load_dec():
+    global _dec_lib, _dec_failed
+    if _dec_lib is not None or _dec_failed:
+        return _dec_lib
+    with _lock:
+        if _dec_lib is not None or _dec_failed:
+            return _dec_lib
+
+        def build():
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _DEC_SRC, "-lz",
+                 "-o", _DEC_SO + ".tmp"],
+                check=True, capture_output=True)
+            os.replace(_DEC_SO + ".tmp", _DEC_SO)
+
+        def load():
+            lib = ctypes.CDLL(_DEC_SO)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int)
+            lib.png_get_info.restype = ctypes.c_int
+            lib.png_get_info.argtypes = [u8p, ctypes.c_long, i32p, i32p,
+                                         i32p]
+            lib.png_decode_rgb8.restype = ctypes.c_int
+            lib.png_decode_rgb8.argtypes = [u8p, ctypes.c_long, u8p]
+            return lib
+
+        try:
+            if not os.path.exists(_DEC_SO) or (
+                    os.path.getmtime(_DEC_SO) < os.path.getmtime(_DEC_SRC)):
+                build()
+            try:
+                _dec_lib = load()
+            except OSError:
+                build()
+                _dec_lib = load()
+        except Exception:
+            _dec_failed = True
+            return None
+    return _dec_lib
+
+
+def decode_png(data: bytes):
+    """PNG bytes -> (H, W, 3) uint8 RGB array via the native decoder, or
+    None when the format needs PIL (palette, 16-bit, interlaced, ...) or
+    the library is unavailable."""
+    lib = _load_dec()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if lib.png_get_info(buf.ctypes.data_as(u8p), len(data),
+                        ctypes.byref(w), ctypes.byref(h),
+                        ctypes.byref(c)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.png_decode_rgb8(buf.ctypes.data_as(u8p), len(data),
+                           out.ctypes.data_as(u8p)) != 0:
+        return None
+    return out
+
+
+def read_image_rgb(path: str):
+    """Read an image file to (H, W, 3) uint8, native-decoding PNGs and
+    falling back to PIL for anything else."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        out = decode_png(data)
+        if out is not None:
+            return out
+    import io
+    import PIL.Image
+    return np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))

@@ -275,3 +275,41 @@ def test_experiments_orphan_stage_is_stolen(tmp_path):
                                       process_count=2)
     assert ran == ["cmd_a", "cmd_b", "cmd_c"]
     assert all(v == "done" for v in status.values())
+
+
+def test_native_png_decoder_parity(tmp_path):
+    """The C++ PNG decoder matches PIL exactly on its supported subset
+    (8-bit grey/RGB/RGBA, all filter types) and defers otherwise."""
+    import io
+    import PIL.Image
+    from rewriting_tpu.native import (decode_png, encode_png,
+                                      read_image_rgb)
+    rng = np.random.RandomState(0)
+    # native-encoder roundtrip
+    img = rng.randint(0, 255, (37, 53, 3), np.uint8)
+    data = encode_png(img)
+    if data is not None:
+        np.testing.assert_array_equal(decode_png(data), img)
+    # PIL-encoded variants (PIL picks varied row filters) incl. smooth
+    # gradients that trigger Average/Paeth filters
+    grad = (np.arange(40)[:, None] * np.arange(60)[None, :] % 256)
+    cases = [(img, "RGB"),
+             (np.dstack([grad, grad[::-1], grad // 2]).astype(np.uint8),
+              "RGB"),
+             (rng.randint(0, 255, (20, 31, 4), np.uint8), "RGBA"),
+             (rng.randint(0, 255, (20, 31), np.uint8), "L")]
+    for arr, mode in cases:
+        b = io.BytesIO()
+        PIL.Image.fromarray(arr.astype(np.uint8), mode).save(b,
+                                                             format="png")
+        want = np.asarray(PIL.Image.open(
+            io.BytesIO(b.getvalue())).convert("RGB"))
+        got = decode_png(b.getvalue())
+        assert got is not None
+        np.testing.assert_array_equal(got, want, err_msg=mode)
+    # palette PNGs defer to PIL via read_image_rgb
+    pal = PIL.Image.fromarray(img).convert("P")
+    p = tmp_path / "pal.png"
+    pal.save(p)
+    want = np.asarray(PIL.Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(read_image_rgb(str(p)), want)
