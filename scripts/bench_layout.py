@@ -1,4 +1,7 @@
 """NHWC vs NCHW conv lowering for the late (64-128ch) layers at HIGH."""
+# CAVEAT: isolated single-op timings on this stack are untrustworthy even
+# chained (see docs/PERF_NOTES.md "Measurement trust levels"); kept for
+# methodology reference only.
 import json, time, sys
 import jax
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
@@ -9,11 +12,21 @@ from jax import lax
 PREC = lax.Precision.HIGH
 
 def timed(f, xs, w, iters=8):
-    outs = [f(xs[0], w)]
-    jax.block_until_ready(outs)
+    # chained: each call consumes the previous output (reshaped back to
+    # the input shape via a cheap slice/pad) so no result caching is
+    # possible; single-op timings are otherwise unreliable on this stack
+    x = xs[0]
+    def step(x):
+        y = f(x, w)
+        # map output back to input shape: broadcast-add a scalar derived
+        # from y onto the ORIGINAL input (keeps values bounded)
+        return xs[1] + jnp.mean(y) * 1e-12
+    y = step(x)
+    jax.block_until_ready(y)
     t0 = time.perf_counter()
-    outs = [f(xs[i % len(xs)], w) for i in range(iters)]
-    jax.block_until_ready(outs)
+    for _ in range(iters):
+        x = step(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters * 1e3
 
 for (b, h, ci, co) in [(64, 256, 64, 64), (64, 128, 128, 128),
