@@ -283,9 +283,10 @@ def main():
                 "pipeline_total_s": round(total, 2),
                 "pipeline_10k_extrapolated_s": round(total * 10000
                                                      / n_small, 1),
-                "pipeline_note": "sample stage is dominated by device->"
-                                 "host transfer through this image's axon "
-                                 "tunnel, not generation",
+                **({"pipeline_note":
+                    "sample stage is dominated by device->host transfer "
+                    "through this image's axon tunnel, not generation"}
+                   if jax.default_backend() == "axon" else {}),
             }
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)

@@ -111,8 +111,8 @@ def _image_dir_batches(path: str, batch_size: int):
     files = sorted(f for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
     batch = []
+    from ..native import read_image_rgb
     for f in files:
-        from ..native import read_image_rgb
         img = read_image_rgb(os.path.join(path, f)).astype(
             np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))

@@ -25,8 +25,8 @@ def count_smiles(image_dir: str, n: int = 10000, batch_size: int = 16,
         classifier = mouth_heuristic_classifier()
     total = 0
     batch = []
+    from ..native import read_image_rgb
     for i in pbar.pbar(range(n)):
-        from ..native import read_image_rgb
         img = read_image_rgb(
             os.path.join(image_dir, f"{i}.png")).astype(np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))

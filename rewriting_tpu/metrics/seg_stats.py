@@ -42,8 +42,8 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
         batch.clear()
         nums.clear()
 
+    from ..native import read_image_rgb
     for i in pbar.pbar(range(n)):
-        from ..native import read_image_rgb
         img = read_image_rgb(
             os.path.join(img_path, f"{i}.png")).astype(np.float32) / 255.0
         batch.append(renormalize.renormalize(img, "pt", "zc"))

@@ -28,7 +28,6 @@ inline uint32_t be32(const uint8_t* p) {
 struct Info {
   uint32_t w = 0, h = 0;
   int bit_depth = 0, color_type = 0, interlace = 0, channels = 0;
-  const uint8_t* idat_concat = nullptr;  // filled by collect
 };
 
 const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};

@@ -9,8 +9,14 @@ fault, or hang is contained, and the verdict is cached on disk so the
 
 Policy: the probe only ever runs when REWRITING_TPU_TRY_PALLAS=1 — on an
 unknown runtime the default answer is False (use the XLA formulations,
-which are exact).  On a standard libtpu runtime set the env var once; the
-cached verdict then enables the kernels for every later process.
+which are exact).  Only POSITIVE verdicts are cached on disk: a failed
+probe may just mean the parent process already held exclusive device
+access (libtpu grants one process the TPU), a timeout, or other
+transients, so it must not poison later runs.  The intended flow on a
+standard runtime is one standalone run of
+``REWRITING_TPU_TRY_PALLAS=1 python -m rewriting_tpu.ops.pallas_probe``
+before starting work — the cached success then enables the kernels for
+every later process with no probing.
 """
 
 from __future__ import annotations
@@ -54,8 +60,11 @@ def compiled_pallas_supported(timeout: float = 120.0) -> bool:
     if os.path.isfile(path):
         try:
             with open(path) as f:
-                _cached = bool(json.load(f)["supported"])
-            return _cached
+                if bool(json.load(f)["supported"]):
+                    _cached = True
+                    return True
+            # a cached negative is advisory only — fall through so an
+            # explicit REWRITING_TPU_TRY_PALLAS=1 can re-probe
         except Exception:
             pass
     if os.environ.get("REWRITING_TPU_TRY_PALLAS") != "1":
@@ -69,10 +78,16 @@ def compiled_pallas_supported(timeout: float = 120.0) -> bool:
     except Exception:
         ok = False
     _cached = ok
-    try:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
-            json.dump({"supported": ok}, f)
-    except OSError:
-        pass
+    if ok:  # cache successes only (failures may be contention/transient)
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"supported": True}, f)
+        except OSError:
+            pass
     return ok
+
+
+if __name__ == "__main__":  # standalone probe (run before any TPU work)
+    os.environ.setdefault("REWRITING_TPU_TRY_PALLAS", "1")
+    print("compiled pallas supported:", compiled_pallas_supported())

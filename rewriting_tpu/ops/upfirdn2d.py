@@ -189,10 +189,12 @@ def _pallas_eligible(x, kernel) -> bool:
     return compiled_pallas_supported()
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
 def upsample2d(x, kernel, factor: int = 2):
     """FIR upsample (reference Upsample, utils/stylegan2/models.py:435-447):
-    gain factor**2, pad ((p+1)//2 + factor - 1, p//2) with p = kh - factor."""
+    gain factor**2, pad ((p+1)//2 + factor - 1, p//2) with p = kh - factor.
+    NOT itself jitted: callers trace it inside their own jits, and jitting
+    here would turn `kernel` into a Tracer and disable the Pallas
+    dispatch (taps must be compile-time constants)."""
     kh = kernel.shape[0]
     p = kh - factor
     pad0 = (p + 1) // 2 + factor - 1
