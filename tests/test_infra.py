@@ -313,3 +313,25 @@ def test_native_png_decoder_parity(tmp_path):
     pal.save(p)
     want = np.asarray(PIL.Image.open(p).convert("RGB"))
     np.testing.assert_array_equal(read_image_rgb(str(p)), want)
+
+
+def test_bench_smoke_driver_contract():
+    """The driver parses bench.py's LAST stdout line as one JSON object
+    with metric/value/unit/vs_baseline keys — pin that contract."""
+    import json
+    import subprocess
+    import sys
+    import os
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--smoke"], cwd=repo,
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    row = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "rank1_edit_solve_ms", "rank1_fast_linear_solve_ms",
+                "batched_8edit_ms_per_edit"):
+        assert key in row, key
+    assert row["unit"] == "images/sec/chip"
+    assert row["value"] > 0
