@@ -60,3 +60,37 @@ def load_params(path: str) -> Dict:
         return out
 
     return listify(root)
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpointing: the TPU-fleet-native persistence path — sharded
+# arrays save/restore in parallel per host, directly to shared/remote
+# storage (GCS), with the sharding layout preserved.  npz (above) remains
+# the dependency-light single-host format.
+# ---------------------------------------------------------------------------
+
+def save_params_orbax(path: str, params: Dict) -> None:
+    """Save a params pytree (possibly sharded over a mesh) with Orbax."""
+    import os
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params_orbax(path: str, like: Dict = None) -> Dict:
+    """Restore a params pytree. With `like` (a pytree of arrays or
+    jax.ShapeDtypeStructs, e.g. model.init_params(...) placed on a mesh),
+    arrays restore directly into that sharding layout."""
+    import os
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is None:
+            return ckptr.restore(path)
+        import jax
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.asarray(x).dtype,
+                sharding=getattr(x, "sharding", None)), like)
+        return ckptr.restore(path, abstract)
