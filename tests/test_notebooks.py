@@ -14,7 +14,8 @@ NB_DIR = os.path.join(os.path.dirname(__file__), "..", "notebooks")
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["rewriting-interface",
                                   "reflection-rule-change",
-                                  "stats/segmentation-stats"])
+                                  "stats/segmentation-stats",
+                                  "stats/face-label-stats"])
 def test_notebook_executes(name, tmp_path):
     nb = nbformat.read(os.path.join(NB_DIR, f"{name}.ipynb"),
                        as_version=4)
