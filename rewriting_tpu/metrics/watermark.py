@@ -98,7 +98,7 @@ def main():  # pragma: no cover - CLI (reference :12-96)
     ap.add_argument("--gan", default="stylegan")
     ap.add_argument("--model", default="church")
     ap.add_argument("--request", default="multikey_markandbottom")
-    ap.add_argument("--requestdir", default="masks")
+    ap.add_argument("--requestdir", default="notebooks/masks")
     ap.add_argument("--sample_size", type=int, default=1000)
     ap.add_argument("--layer", type=int, default=6)
     ap.add_argument("--rank", type=int, default=1)
