@@ -41,6 +41,9 @@ def load_cached_state(cachefile: Optional[str], args: dict):
             print(f"{cachefile} differs at {a}: {dat.get(a)} vs {v}; "
                   "recomputing")
             return None
+        # validated cache-key args must not leak into the restored state
+        # (string args like layer names are not valid array entries)
+        del dat[a]
     return dat
 
 
@@ -210,8 +213,7 @@ def tally_cat_dict(compute, zds, batch_size=10, cachefile=None):
     args = {"sample_size": len(zds), "batch_size": batch_size}
     cached = load_cached_state(cachefile, args)
     if cached is not None:
-        return {k: jnp.asarray(v) for k, v in cached.items()
-                if k not in args}
+        return {k: jnp.asarray(v) for k, v in cached.items()}
     outs = {}
     for z, v in zds.batches(batch_size):
         for k, rows in compute(jnp.asarray(z[:v])).items():
