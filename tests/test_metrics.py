@@ -210,3 +210,39 @@ def test_mouth_heuristic_classifier_shapes():
     out = np.asarray(clf(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(
         np.float32)))
     assert out.shape == (2,) and out.dtype == bool
+
+
+@pytest.mark.slow
+def test_patch_fid_sweep_tiny(goldens):
+    """Per-layer patch-FID sweep on a tiny StyleGAN2: clean-vs-clean is ~0
+    and clean-vs-edited grows with a real weight perturbation
+    (reference patch_metrics/fid_image_patches.py + fid_patches.sh)."""
+    import jax.numpy as jnp
+    from rewriting_tpu.metrics.patch_fid import patch_fid_sweep
+    from rewriting_tpu.models import SeqStyleGAN2
+    from rewriting_tpu.models.stylegan2 import params_from_state_dict
+    from rewriting_tpu.rewrite import SeqStyleGanRewriter
+    from rewriting_tpu.utils.zdataset import z_dataset_for_model
+
+    g = goldens("stylegan2_tiny")
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2)
+    params = params_from_state_dict(model, sd)
+    zds = z_dataset_for_model(model, 24)
+    gw_clean = SeqStyleGanRewriter(model, params, zds, 4,
+                                   stats_batch_size=8)
+    gw_edit = SeqStyleGanRewriter(model, params, zds, 4,
+                                  stats_batch_size=8)
+    w = np.asarray(gw_edit.target_weight())
+    gw_edit.set_target_weight(jnp.asarray(w + 0.5 * np.abs(w).max()
+                                          * np.sign(w)))
+    from rewriting_tpu.metrics.fid import FeatureExtractor
+    fe = FeatureExtractor(batch_size=8, allow_random=True)
+    same = patch_fid_sweep(gw_clean, gw_clean, crop_sizes=[4], n=16,
+                           feature_fn=fe)
+    diff = patch_fid_sweep(gw_clean, gw_edit, crop_sizes=[4], n=16,
+                           feature_fn=fe)
+    # random-weight inception features give small absolute FIDs; the
+    # discriminative signal is the orders-of-magnitude gap
+    assert abs(same[4]) < 1e-7, same
+    assert diff[4] > 1e-6 and diff[4] > 100 * abs(same[4]), (same, diff)
