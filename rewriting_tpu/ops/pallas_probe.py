@@ -3,9 +3,12 @@
 Compiled Pallas kernels fault this image's experimental 'axon' TPU worker
 (it restarts, taking every process's device with it), so the kernels in
 pallas_upfirdn.py cannot simply be try/except-ed in process.  This probe
-runs a trivial Pallas kernel in a SUBPROCESS with a timeout: a crash,
-fault, or hang is contained, and the verdict is cached on disk so the
-(potentially destructive) experiment happens at most once per runtime.
+runs the REAL FIR kernels on small shapes in a SUBPROCESS with a timeout:
+a crash, fault, or hang is contained, and the verdict is cached on disk
+so the (potentially destructive) experiment happens at most once per
+runtime.  (A trivial add-one kernel is NOT a sufficient probe: this
+image's runtime runs toy bodies fine and faults only on the halo-DMA
+kernels — measured 2026-08-16.)
 
 Policy: the probe only ever runs when REWRITING_TPU_TRY_PALLAS=1 — on an
 unknown runtime the default answer is False (use the XLA formulations,
@@ -27,17 +30,33 @@ import subprocess
 import sys
 
 _PROBE_SRC = r"""
+import os, sys
+sys.path.insert(0, os.environ["REWRITING_TPU_REPO"])
+import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
-def add_one(x_ref, o_ref):
-    o_ref[...] = x_ref[...] + 1.0
+# The probe must exercise the REAL kernels: this image's axon runtime
+# compiles and runs trivial Pallas bodies fine but faults the worker on
+# the halo-DMA FIR kernels (observed 2026-08-16: probe passed, first
+# blur2d_pallas dispatch took the device down), so a toy kernel is a
+# false positive.
+from rewriting_tpu.ops.upfirdn2d import make_kernel, upfirdn2d
+from rewriting_tpu.ops.pallas_upfirdn import blur2d_pallas, upsample2x_pallas
 
-x = jnp.zeros((8, 128), jnp.float32)
-out = pl.pallas_call(
-    add_one, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
-assert float(out[0, 0]) == 1.0
+kern = np.asarray(make_kernel([1, 3, 3, 1]))
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(2, 33, 33, 128), jnp.float32)
+want = upfirdn2d(x, jnp.asarray(kern) * 4.0, up=1, down=1, pad=(1, 1))
+got = blur2d_pallas(x, kern * 4.0, (1, 1))
+assert float(jnp.max(jnp.abs(got - want))) < 1e-4 * float(
+    jnp.max(jnp.abs(want))), "blur kernel mismatch"
+
+x2 = jnp.asarray(rng.randn(2, 16, 16, 128), jnp.float32)
+want2 = upfirdn2d(x2, jnp.asarray(kern) * 4.0, up=2, down=1, pad=(2, 1))
+got2 = upsample2x_pallas(x2, kern * 4.0, (2, 1))
+assert float(jnp.max(jnp.abs(got2 - want2))) < 1e-4 * float(
+    jnp.max(jnp.abs(want2))), "upsample kernel mismatch"
 print("PALLAS_OK")
 """
 
@@ -71,9 +90,12 @@ def compiled_pallas_supported(timeout: float = 120.0) -> bool:
         _cached = False  # do not risk faulting a shared worker unasked
         return False
     try:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ, REWRITING_TPU_REPO=repo)
         proc = subprocess.run([sys.executable, "-c", _PROBE_SRC],
                               capture_output=True, timeout=timeout,
-                              text=True)
+                              text=True, env=env)
         ok = proc.returncode == 0 and "PALLAS_OK" in proc.stdout
     except Exception:
         ok = False

@@ -17,10 +17,12 @@ Layout: NHWC with C as the lane dimension — intended for feature maps
 
 STATUS: math validated exactly against the XLA formulation in Pallas
 interpret mode (tests/test_pallas.py).  On this image's experimental
-'axon' TPU runtime the compiled kernel faults the remote TPU worker
-(twice, including after an interpret-clean rewrite), so the model paths
-default to the XLA formulation; enable on a standard TPU runtime via
-ops.upfirdn2d's pallas hooks once verified there.
+'axon' TPU runtime the compiled kernel faults the remote TPU worker;
+round-2 isolation (docs/PERF_NOTES.md "Compiled Pallas on this runtime")
+pinned the trigger to manual HBM->VMEM async DMA itself — a DMA-only
+kernel with no stencil also faults, while pure-BlockSpec kernels run —
+so no halo-tiled kernel can work there.  The model paths enable these
+kernels only where the real-kernel probe (pallas_probe.py) has passed.
 """
 
 from __future__ import annotations

@@ -52,7 +52,12 @@ def main():
             Stage(s.name, noop if pred(s.name) else s.fn)
             for s in model.pipeline.stages])
 
+    import os as _os
+    _only = _os.environ.get("KNOCKOUTS_ONLY")
+
     def run(name, pipe):
+        if _only and name != "baseline" and name not in _only.split(","):
+            return None
         fwd = jax.jit(lambda z, p, n: pipe(p, model.make_bag(z, n))[
             "output"])
         dt = timeit_distinct(fwd, zs, params, noise)
@@ -66,7 +71,6 @@ def main():
     if os.environ.get("KNOCKOUTS_FLAGS_ONLY"):
         flag_sweep(model, params, zs, noise, batch)
         return
-
     # knockouts (math-wrong; cost attribution only)
     def crop_only(p, d):
         # stand-in for blur: keep its 2h+1 -> 2h crop, skip the FIR math
@@ -151,7 +155,51 @@ def main():
     run("blur_sep2pass", blur_variant(sep2pass_blur))
     run("no_style_mlp", variant_pipeline(lambda n: n.startswith("style.")
                                          and n != "style.0"))
-    flag_sweep(model, params, zs, noise, batch)
+
+    # to_rgb reformulation: fold the style multiply into the (tiny) 1x1
+    # weight instead of scaling the full fmap — same math, avoids a
+    # materialized NHWC intermediate (TPU dots don't input-fuse producers)
+    import math as _math
+    from rewriting_tpu.models.stylegan2 import _equal_linear
+    from rewriting_tpu.ops.upfirdn2d import upsample2d
+
+    def make_to_rgb_einsum(in_c, skip):
+        mod_scale = 1.0 / _math.sqrt(512)
+        conv_scale = 1.0 / _math.sqrt(in_c)
+        kern4 = make_kernel([1, 3, 3, 1])
+
+        def fn(p, d):
+            style = _equal_linear(p["modulation"], d["style"], mod_scale,
+                                  1.0, None)                   # (B, in_c)
+            w = p["weight"][0, :, :, 0, 0] * conv_scale        # (3, in_c)
+            wb = style[:, :, None] * w.T[None]                 # (B, in_c, 3)
+            from rewriting_tpu.ops.precision import get_precision
+            out = jnp.einsum("nhwi,nio->nhwo", d["fmap"], wb,
+                             precision=get_precision()) + p["bias"]
+            if skip:
+                prev = d["output"]
+                if prev.shape[1:3] != out.shape[1:3]:
+                    prev = upsample2d(prev, jnp.asarray(kern4), factor=2)
+                out = out + prev
+            return dict(d, output=out)
+        return fn
+
+    def to_rgb_einsum_pipeline():
+        stages = []
+        for s in model.pipeline.stages:
+            if s.name.endswith(".rgb"):
+                idx = int(s.name.split(".")[0][len("to_rgb"):])
+                res = 4 * 2 ** (idx - 1)
+                in_c = model.channels[res]
+                stages.append(Stage(s.name,
+                                    make_to_rgb_einsum(in_c, idx > 1)))
+            else:
+                stages.append(s)
+        return StagePipeline(stages)
+
+    run("to_rgb_einsum", to_rgb_einsum_pipeline())
+    if not _only:
+        flag_sweep(model, params, zs, noise, batch)
 
 
 def flag_sweep(model, params, zs, noise, batch):
