@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils import pbar, renormalize
+from ..utils import pbar
 from ..utils.imgsave import SaveImagePool
 from ..utils.pidfile import mark_job_done, reserve_dir
 from ..utils.zdataset import standard_z_sample
@@ -52,17 +52,43 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
     elif sample_fn is None:
         from ..ops.jitopts import tuned_jit
         sample_fn = tuned_jit(lambda p, z: model(p, z))
+    # Quantize to uint8 ON DEVICE (4x fewer bytes over the host link) with
+    # floor to reproduce renormalize's numpy truncation bit-exactly, and
+    # pipeline the host copy of batch i against device compute of batch
+    # i+1 (a blocking np.asarray right after dispatch would serialize the
+    # link with the chip).
+    import jax.numpy as jnp
+
+    # byte-exact with renormalize.renormalize(x, "zc", "byte"): the same
+    # fp32 scale/offset (0.5 / float32(1/255) != 127.5 exactly) and
+    # truncating cast (floor == numpy's astype(uint8) for non-negatives)
+    scale = np.float32(0.5) / np.float32(1.0 / 255.0)
+
+    @jax.jit
+    def quantize(imgs):
+        y = jnp.clip(imgs, -1.0, 1.0) * scale + scale
+        return jnp.floor(jnp.clip(y, 0.0, 255.0)).astype(jnp.uint8)
+
     saver = SaveImagePool()
+    pending = None  # (nums, device uint8 batch)
+
+    def flush(pending):
+        nums, dev = pending
+        for num, img in zip(nums, np.asarray(dev)):
+            saver.add(img, os.path.join(outdir, f"{num}.png"))
+
     for lo in pbar.pbar(range(0, n, batch_size)):
         nums = list(range(lo, min(lo + batch_size, n)))
         zs = per_image_z(model, [i + offset for i in nums])
         if len(zs) < batch_size:  # keep one compiled shape
             pad = batch_size - len(zs)
             zs = np.concatenate([zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
-        imgs = np.asarray(sample_fn(params, zs))[:len(nums)]
-        imgs = renormalize.renormalize(np.clip(imgs, -1, 1), "zc", "byte")
-        for num, img in zip(nums, imgs):
-            saver.add(img, os.path.join(outdir, f"{num}.png"))
+        dev = quantize(sample_fn(params, zs))[:len(nums)]
+        if pending is not None:
+            flush(pending)
+        pending = (nums, dev)
+    if pending is not None:
+        flush(pending)
     saver.join()
 
 

@@ -89,8 +89,13 @@ def load_params_orbax(path: str, like: Dict = None) -> Dict:
         if like is None:
             return ckptr.restore(path)
         import jax
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(
-                jnp.shape(x), jnp.asarray(x).dtype,
-                sharding=getattr(x, "sharding", None)), like)
-        return ckptr.restore(path, abstract)
+
+        def abstract(x):
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return x
+            if not hasattr(x, "shape"):  # python scalar / list leaf
+                x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=getattr(x, "sharding",
+                                                         None))
+        return ckptr.restore(path, jax.tree_util.tree_map(abstract, like))
