@@ -145,6 +145,54 @@ def _apply_style(params, d: DataBag) -> DataBag:
     return DataBag(d, fmap=d["style"][:, None, None, :] * d["fmap"])
 
 
+@functools.lru_cache(maxsize=1)
+def _s2d_placement() -> np.ndarray:
+    """(p, q, t, d) one-hot: original 3x3 tap d contributing to output
+    phase p reads input phase q of the space-to-depth block at offset
+    t-1 (p + d - 1 == 2*(t-1) + q)."""
+    A = np.zeros((2, 2, 3, 3), np.float32)
+    for p in range(2):
+        for d in range(3):
+            r = p + d - 1
+            q = r % 2
+            A[p, q, (r - q) // 2 + 1, d] = 1.0
+    return A
+
+
+def _conv3x3_s2d(x, w):
+    """3x3 SAME conv computed in space-to-depth layout.
+
+    Narrow-channel high-resolution convs are lane-starved on TPU (C of 128
+    MXU lanes used; measured 3.4 TF/s for the 32-channel 1024x1024 conv vs
+    ~65 TF/s achievable).  Reshaping (H, W, C) -> (H/2, W/2, 4C) and
+    convolving with the phase-transformed kernel (4O, 4I, 3, 3) does 2x
+    the MACs of the exact conv but with full lane occupancy — a large net
+    win.  Exact regrouping of the same products (each original tap appears
+    once; structural zeros elsewhere)."""
+    b, h, w_, c = x.shape
+    o_c, i_c = w.shape[0], w.shape[1]
+    xs = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_ // 2, 4 * c)
+    A = jnp.asarray(_s2d_placement())
+    # R[p,P,o, q,Q,i, t,T] = sum_{d,D} A[p,q,t,d] A[P,Q,T,D] w[o,i,d,D]
+    wt = jnp.einsum("pqtd,PQTD,oidD->pPoqQitT", A, A, w)
+    wt = wt.reshape(4 * o_c, 4 * i_c, 3, 3)
+    ys = lax.conv_general_dilated(
+        xs, wt, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=get_precision())
+    ys = ys.reshape(b, h // 2, w_ // 2, 2, 2, o_c)
+    return ys.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w_, o_c)
+
+
+def _use_s2d(h, w, in_c, out_c) -> bool:
+    # measured (v5e, HIGH, chained): wins at 32ch/1024res (56.8->50.8 ms),
+    # loses at 64ch (17.1->25.3) where plain lanes are half-occupied but
+    # the 2x MAC redundancy + transposes outweigh the gain
+    return (in_c <= 32 and out_c <= 32 and h >= 256
+            and h % 2 == 0 and w % 2 == 0)
+
+
 def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
     fan_in = in_c * kernel_size ** 2
     scale = 1.0 / math.sqrt(fan_in)
@@ -163,6 +211,9 @@ def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "OIHW", "NHWC"),
                 precision=get_precision())
+        elif (kernel_size == 3
+              and _use_s2d(x.shape[1], x.shape[2], in_c, out_c)):
+            out = _conv3x3_s2d(x, w5[0] * scale)
         else:
             out = lax.conv_general_dilated(
                 x, w5[0] * scale, window_strides=(1, 1),

@@ -23,7 +23,7 @@ Layout: NHWC. The FIR kernel is shared across channels (depthwise).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -189,11 +189,30 @@ def _pallas_eligible(x, kernel) -> bool:
     return compiled_pallas_supported()
 
 
+def _separable_taps_2d(kernel) -> Optional[Tuple[tuple, tuple]]:
+    """(taps_y, taps_x) if the concrete 2-d kernel is rank-1 (all StyleGAN2
+    FIR kernels are outer products), else None."""
+    import jax as _jax
+    if isinstance(kernel, _jax.core.Tracer):
+        return None
+    k = np.asarray(kernel, np.float64)
+    if k.ndim != 2:
+        return None
+    u, s, vt = np.linalg.svd(k)
+    if s[0] <= 0 or (len(s) > 1 and s[1] > 1e-10 * s[0]):
+        return None
+    ty = u[:, 0] * np.sqrt(s[0])
+    tx = vt[0] * np.sqrt(s[0])
+    if ty.sum() < 0:  # fix SVD sign so taps are the positive factors
+        ty, tx = -ty, -tx
+    return (tuple(float(t) for t in ty), tuple(float(t) for t in tx))
+
+
 def upsample2d(x, kernel, factor: int = 2):
     """FIR upsample (reference Upsample, utils/stylegan2/models.py:435-447):
     gain factor**2, pad ((p+1)//2 + factor - 1, p//2) with p = kh - factor.
     NOT itself jitted: callers trace it inside their own jits, and jitting
-    here would turn `kernel` into a Tracer and disable the Pallas
+    here would turn `kernel` into a Tracer and disable the Pallas/matmul
     dispatch (taps must be compile-time constants)."""
     kh = kernel.shape[0]
     p = kh - factor
@@ -203,6 +222,18 @@ def upsample2d(x, kernel, factor: int = 2):
             x.shape[1] * 2 + pad0 + pad1 - kh + 1 == 2 * x.shape[1]:
         from .pallas_upfirdn import upsample2x_pallas
         return upsample2x_pallas(x, np.asarray(kernel) * 4.0, (pad0, pad1))
+    if x.shape[-1] <= 8:
+        # Narrow-channel maps (the RGB skip path): the depthwise-conv
+        # lowering is catastrophic on TPU for C << 128 (3 of 128 lanes,
+        # and the zero-dilated intermediate can materialize: measured
+        # 75 ms of a 119 ms StyleGAN2-1024 forward in ONE 3-channel
+        # 512->1024 upsample).  The separable banded-matmul formulation
+        # runs it as two full-shape MXU matmuls instead (~1 ms there);
+        # exact by construction (docs/PERF_NOTES.md).
+        sep = _separable_taps_2d(kernel)
+        if sep is not None:
+            return upfirdn2d_matmul(x, sep[0], sep[1], up=factor, down=1,
+                                    pad=(pad0, pad1), gain=factor ** 2)
     return upfirdn2d(x, kernel * (factor ** 2), up=factor, down=1,
                      pad=(pad0, pad1))
 

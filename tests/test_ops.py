@@ -79,3 +79,48 @@ def test_fused_leaky_relu():
     pre = x + b
     want = np.sqrt(2.0) * np.where(pre >= 0, pre, 0.2 * pre)
     np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_upsample2d_narrow_channel_matmul_dispatch():
+    """upsample2d routes C<=8 maps (the RGB skip path) through the
+    separable banded-matmul formulation; must match the depthwise-conv
+    formulation exactly for the production blur kernel."""
+    from rewriting_tpu.ops import make_kernel, upsample2d
+    from rewriting_tpu.ops.upfirdn2d import _separable_taps_2d, upfirdn2d
+
+    kern = jnp.asarray(make_kernel([1, 3, 3, 1]))
+    assert _separable_taps_2d(kern) is not None
+    # non-separable kernel -> no taps, falls back
+    assert _separable_taps_2d(jnp.asarray(np.eye(4, dtype=np.float32))) is None
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    got = upsample2d(x, kern, factor=2)
+    kh = kern.shape[0]
+    p = kh - 2
+    want = upfirdn2d(x, kern * 4.0, up=2, down=1,
+                     pad=((p + 1) // 2 + 1, p // 2))
+    assert got.shape == want.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_conv3x3_s2d_matches_plain_conv():
+    """Space-to-depth 3x3 conv (narrow-channel high-res path) is an exact
+    regrouping of the plain SAME conv."""
+    from jax import lax
+    from rewriting_tpu.models.stylegan2 import _conv3x3_s2d, _use_s2d
+
+    assert _use_s2d(1024, 1024, 32, 32)
+    assert not _use_s2d(512, 512, 64, 64)     # measured slower at 64ch
+    assert not _use_s2d(128, 128, 128, 128)   # full lanes already
+    assert not _use_s2d(64, 64, 512, 512)
+    rng = np.random.RandomState(1)
+    for h, ci, co in ((8, 3, 5), (16, 32, 32), (12, 64, 32)):
+        x = jnp.asarray(rng.randn(2, h, h, ci), jnp.float32)
+        w = jnp.asarray(rng.randn(co, ci, 3, 3), jnp.float32)
+        want = lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"))
+        got = _conv3x3_s2d(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
