@@ -296,6 +296,167 @@ def _make_subpixel_up_dconv(in_c, out_c, kernel_size, demodulate):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Fast s2d tail: for narrow-channel high-resolution layers (the 1024-model
+# tail), the production sampling pipeline folds the FIR blur into the
+# upsampling dconv (one composite conv whose per-phase 3x3 kernels are the
+# subpixel decomposition of the 6x6 blur*convT filter) and carries the
+# feature map in space-to-depth layout (B, H/2, W/2, 4C) so every conv runs
+# with full MXU lane occupancy.  Exact math (same products, regrouped);
+# stage BOUNDARY values differ (fmap is s2d, blur is folded), so the seq
+# pipeline remains the instrumentation/editing surface — mirroring the
+# reference, whose fast grouped-conv mconv is the default sampling path
+# while the sequential split exists for rewriting (reference
+# utils/stylegan2/models.py:12-22, 354-425).
+# ---------------------------------------------------------------------------
+
+def _composite_up_kernel(wf, blur_kern, out_c, in_c):
+    """(O, I, 3, 3) correlation taps + 4x4 FIR -> (4O, I, 3, 3) per-phase
+    taps of blur∘convT over the undilated input.
+
+    convT(stride 2, k3, pad k-1) then FIR blur (pad (1,1), gain 4) is a
+    correlation of the zero-dilated input (total pad 3) with the 6x6 full
+    convolution C = wf * flip(blur); output phase p takes taps
+    C[3-p+2Δ] for Δ in {-1,0,1} — a plain 3x3 conv producing 4O phase
+    channels at input resolution (phase-major channel order, matching the
+    s2d layout convention)."""
+    kf = jnp.flip(jnp.asarray(blur_kern, wf.dtype), (0, 1)) * 4.0
+    comp = jnp.zeros((out_c, in_c, 6, 6), wf.dtype)
+    for by in range(4):
+        for bx in range(4):
+            comp = comp.at[:, :, by:by + 3, bx:bx + 3].add(
+                wf * kf[by, bx])
+    idx = jnp.array([[1, 3, 5], [0, 2, 4]])       # rows for phase p=0,1
+    k = comp[:, :, idx, :]                        # (O, I, p, 3, 6)
+    k = k[:, :, :, :, idx]                        # (O, I, p, 3, P, 3)
+    return k.transpose(2, 4, 0, 1, 3, 5).reshape(4 * out_c, in_c, 3, 3)
+
+
+def _conv3x3_s2d_pre(xs, wt):
+    """3x3 SAME conv on an s2d-layout map with a pre-transformed kernel."""
+    return lax.conv_general_dilated(
+        xs, wt, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=get_precision())
+
+
+def _s2d_kernel_transform(w):
+    """(O, I, 3, 3) -> (4O, 4I, 3, 3) phase-transformed kernel (see
+    _conv3x3_s2d)."""
+    A = jnp.asarray(_s2d_placement())
+    o_c, i_c = w.shape[0], w.shape[1]
+    wt = jnp.einsum("pqtd,PQTD,oidD->pPoqQitT", A, A, w)
+    return wt.reshape(4 * o_c, 4 * i_c, 3, 3)
+
+
+def _s2d_of(x):
+    """NHWC -> s2d layout (phase-major channels)."""
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s_of(y):
+    """s2d layout -> NHWC."""
+    b, h2, w2, c4 = y.shape
+    c = c4 // 4
+    ys = y.reshape(b, h2, w2, 2, 2, c)
+    return ys.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c)
+
+
+def _make_fast_up_dconv_s2d(in_c, out_c, kernel_size, demodulate,
+                            blur_kernel):
+    """Blur-folded subpixel upsampling dconv producing an s2d-layout fmap.
+    Replaces dconv+blur in the fast pipeline (exact composite)."""
+    assert kernel_size == 3
+    fan_in = in_c * kernel_size ** 2
+    scale = 1.0 / math.sqrt(fan_in)
+    bk = np.asarray(make_kernel(blur_kernel))
+
+    def fn(params, d: DataBag) -> DataBag:
+        w5 = params["weight"]
+        wf = jnp.flip(w5[0], (-2, -1)) * scale
+        kconv = _composite_up_kernel(wf, bk, out_c, in_c)
+        x = d["fmap"]                               # NHWC (tail entry)
+        ph = lax.conv_general_dilated(
+            x, kconv, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision())              # (B, h, w, 4O) s2d
+        if demodulate:
+            style = d["style"]
+            w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
+            demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                      precision=get_precision()) + 1e-8)
+            ph = ph * jnp.tile(demod, (1, 4))[:, None, None, :]
+        return DataBag(d, fmap=ph)
+    return fn
+
+
+def _make_dconv_s2d(in_c, out_c):
+    """Plain 3x3 dconv consuming and producing s2d-layout fmaps."""
+    scale = 1.0 / math.sqrt(in_c * 9)
+
+    def fn(params, d: DataBag) -> DataBag:
+        w5 = params["weight"]
+        wt = _s2d_kernel_transform(w5[0] * scale)
+        out = _conv3x3_s2d_pre(d["fmap"], wt)
+        if True:  # demodulate (all styled convs demodulate)
+            style = d["style"]
+            w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
+            demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                      precision=get_precision()) + 1e-8)
+            out = out * jnp.tile(demod, (1, 4))[:, None, None, :]
+        return DataBag(d, fmap=out)
+    return fn
+
+
+def _apply_style_s2d(params, d: DataBag) -> DataBag:
+    return DataBag(d, fmap=jnp.tile(d["style"], (1, 4))[:, None, None, :]
+                   * d["fmap"])
+
+
+def _noise_inject_s2d(params, d: DataBag) -> DataBag:
+    x = d["fmap"]                                   # (B, h2, w2, 4C)
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    noise = d.get(noise_key(2 * h2, 2 * w2))
+    if noise is None:
+        noise = jnp.asarray(_reference_noise(b, 2 * h2, 2 * w2))
+    ns = _s2d_of(noise)                             # (B, h2, w2, 4)
+    ns = jnp.repeat(ns, c, axis=-1)                 # phase-major broadcast
+    return DataBag(d, fmap=x + params["weight"] * ns)
+
+
+def _fused_lrelu_s2d(params, d: DataBag) -> DataBag:
+    return DataBag(d, fmap=fused_leaky_relu(d["fmap"],
+                                            jnp.tile(params["bias"], 4)))
+
+
+def _make_to_rgb_s2d(in_c, style_dim, skip, blur_kernel):
+    """to_rgb consuming an s2d-layout fmap; output stays NHWC."""
+    mod_scale = 1.0 / math.sqrt(style_dim)
+    conv_scale = 1.0 / math.sqrt(in_c)
+    kern = np.asarray(make_kernel(blur_kernel))
+
+    def fn(params, d: DataBag) -> DataBag:
+        style = _equal_linear(params["modulation"], d["style"], mod_scale,
+                              1.0, None)            # (B, in_c)
+        w = params["weight"][0, :, :, 0, 0] * conv_scale     # (3, in_c)
+        x = d["fmap"] * jnp.tile(style, (1, 4))[:, None, None, :]
+        b, h2, w2, c4 = x.shape
+        xp = x.reshape(b, h2, w2, 4, in_c)
+        rgb = jnp.einsum("bhwpi,ri->bhwpr", xp, w,
+                         precision=get_precision())  # (B,h2,w2,4,3)
+        out = _d2s_of(rgb.reshape(b, h2, w2, 12)) + params["bias"]
+        if skip:
+            prev = d["output"]
+            if prev.shape[1:3] != out.shape[1:3]:
+                prev = upsample2d(prev, jnp.asarray(kern), factor=2)
+            out = out + prev
+        return DataBag(d, output=out)
+    return fn
+
+
 def _noise_inject(params, d: DataBag) -> DataBag:
     x = d["fmap"]
     b, h, w, _ = x.shape
@@ -376,6 +537,11 @@ class SeqStyleGAN2:
         # sequential pipeline on v5e (docs/PERF_NOTES.md) — kept as the
         # exact-math experimental alternate, not the production path.
         self._fused_overrides: Dict[str, object] = {}
+        # production sampling pipeline: narrow-channel high-res tail runs
+        # blur-folded in s2d layout (see "Fast s2d tail" above); empty for
+        # models with no <=32-channel layers (256-model at cm=2)
+        self._fast_overrides: Dict[str, object] = {}
+        self._s2d_tail = False
 
         # style MLP (models.py:59-65)
         stages.append(Stage("style.0", _pixel_norm_latent))
@@ -393,9 +559,9 @@ class SeqStyleGAN2:
         stages.append(Stage("input", _constant_input))
         self._param_specs["input"] = ("const", self.channels[4])
 
-        def styled_conv(prefix, in_c, out_c, lat_idx, upsample):
+        def styled_conv(prefix, in_c, out_c, lat_idx, upsample, res=None):
             """layerN.{conv|sconv}: lat pick + mconv(seq) + noise + activate
-            (models.py:232-289)."""
+            (models.py:232-289). `res` = this conv's output resolution."""
             sub = []
             sub.append(Stage(f"{prefix}.mconv.modulation",
                              _make_modulation(style_dim)))
@@ -420,6 +586,27 @@ class SeqStyleGAN2:
             self._param_specs[f"{prefix}.noise"] = ("noise_w",)
             sub.append(Stage(f"{prefix}.activate", _fused_lrelu_stage))
             self._param_specs[f"{prefix}.activate"] = ("act_bias", out_c)
+            # fast s2d tail (production sampling): measured win on v5e for
+            # <=32-channel layers at >=512 resolution (docs/PERF_NOTES.md)
+            if upsample and out_c <= 32 and (res or 0) >= 512:
+                self._fast_overrides[f"{prefix}.mconv.dconv"] = \
+                    _make_fast_up_dconv_s2d(in_c, out_c, 3, True,
+                                            self.blur_kernel)
+                self._fast_overrides[f"{prefix}.mconv.blur"] = \
+                    lambda params, d: d
+                self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
+                self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
+                self._s2d_tail = True
+            elif not upsample and self._s2d_tail:
+                assert in_c <= 32 and out_c <= 32, (prefix, in_c, out_c)
+                self._fast_overrides[f"{prefix}.mconv.adain"] = \
+                    _apply_style_s2d
+                self._fast_overrides[f"{prefix}.mconv.dconv"] = \
+                    _make_dconv_s2d(in_c, out_c)
+                self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
+                self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
+            elif upsample and self._s2d_tail:  # pragma: no cover
+                raise AssertionError("s2d tail interrupted by a wide layer")
             return sub
 
         def to_rgb(name, in_c, lat_idx, skip):
@@ -427,6 +614,9 @@ class SeqStyleGAN2:
                    Stage(f"{name}.rgb",
                          _make_to_rgb(in_c, style_dim, skip,
                                       self.blur_kernel))]
+            if self._s2d_tail:
+                self._fast_overrides[f"{name}.rgb"] = _make_to_rgb_s2d(
+                    in_c, style_dim, skip, self.blur_kernel)
             self._param_specs[f"{name}.rgb"] = ("to_rgb", in_c)
             return sub
 
@@ -446,11 +636,12 @@ class SeqStyleGAN2:
             stages.append(Stage(f"layer{lat_i + 2}.lat{lat_i}",
                                 _make_pick_latent(lat_i)))
             stages.extend(styled_conv(f"layer{lat_i + 2}.sconv", in_c, out_c,
-                                      lat_i, upsample=True))
+                                      lat_i, upsample=True, res=2 ** i))
             stages.append(Stage(f"layer{lat_i + 3}.lat{lat_i + 1}",
                                 _make_pick_latent(lat_i + 1)))
             stages.extend(styled_conv(f"layer{lat_i + 3}.sconv", out_c, out_c,
-                                      lat_i + 1, upsample=False))
+                                      lat_i + 1, upsample=False,
+                                      res=2 ** i))
             stages.extend(to_rgb(f"to_rgb{i - 1}", out_c, lat_i + 2,
                                  skip=True))
             in_c = out_c
@@ -463,6 +654,13 @@ class SeqStyleGAN2:
         # apply to both pipelines (slower on v5e — docs/PERF_NOTES.md)
         self.pipeline_fused = StagePipeline([
             Stage(s.name, self._fused_overrides.get(s.name, s.fn))
+            for s in stages])
+        # production sampling pipeline: seq stages + the fast s2d tail
+        # (identical to pipeline when no layer qualifies). E2E-exact; per-
+        # stage boundary values differ in the tail, so instrumentation and
+        # editing always run on `pipeline` (the seq split).
+        self.pipeline_fast = StagePipeline([
+            Stage(s.name, self._fast_overrides.get(s.name, s.fn))
             for s in stages])
 
     # -- noise inputs -------------------------------------------------------
@@ -536,12 +734,19 @@ class SeqStyleGAN2:
         return bag
 
     def __call__(self, params, z, noise: Optional[dict] = None,
-                 fused: bool = False):
+                 fused: bool = False, fast: bool = True):
         """z (B, style_dim) -> NHWC image. Deterministic reference noise is
-        passed as runtime inputs unless explicitly provided. fused=True
-        uses the subpixel-decomposed alternate pipeline (identical math;
-        measured slower on v5e — docs/PERF_NOTES.md)."""
-        pipe = self.pipeline_fused if fused else self.pipeline
+        passed as runtime inputs unless explicitly provided.
+
+        fast=True (default) runs the production sampling pipeline — the
+        seq stages with the narrow-channel tail blur-folded in s2d layout
+        (e2e-exact; == seq stages when no layer qualifies). Mirrors the
+        reference, whose fast grouped-conv mconv is the default sampling
+        configuration (models.py:354-425). fused=True selects the
+        subpixel-decomposed alternate pipeline (identical math; measured
+        slower on v5e — docs/PERF_NOTES.md)."""
+        pipe = (self.pipeline_fused if fused
+                else self.pipeline_fast if fast else self.pipeline)
         return pipe(params, self.make_bag(z, noise))["output"]
 
     def apply_bag(self, params, bag: DataBag) -> DataBag:

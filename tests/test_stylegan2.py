@@ -91,3 +91,49 @@ def test_jit_and_random_init():
     assert out.shape == (4, 16, 16, 3)
     out2 = fwd(params, z, model.prepare_noise(4))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_composite_up_dconv_matches_dconv_plus_blur():
+    """The blur-folded subpixel up-conv (fast s2d tail) is an exact
+    composite of the seq dconv followed by the FIR blur."""
+    import rewriting_tpu.models.stylegan2 as sg
+    from rewriting_tpu.core import DataBag
+
+    rng = np.random.RandomState(0)
+    ci, co, h = 6, 5, 12
+    x = jnp.asarray(rng.randn(2, h, h, ci), jnp.float32)
+    w5 = jnp.asarray(rng.randn(1, co, ci, 3, 3), jnp.float32)
+    style = jnp.asarray(rng.randn(2, ci), jnp.float32)
+    d = DataBag(fmap=x, style=style)
+    seq_dconv = sg._make_dconv(ci, co, 3, True, True)
+    blur = sg._make_blur([1, 3, 3, 1], (1, 1), 2)
+    want = blur(None, seq_dconv({"weight": w5}, d))["fmap"]
+    fast = sg._make_fast_up_dconv_s2d(ci, co, 3, True, [1, 3, 3, 1])
+    got = sg._d2s_of(fast({"weight": w5}, d)["fmap"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fast_s2d_tail_pipeline_matches_seq():
+    """pipeline_fast (blur-folded s2d tail) must be e2e-exact vs the seq
+    pipeline. Channels are shrunk so the <=32-channel tail gate triggers
+    at CPU-testable sizes."""
+    import rewriting_tpu.models.stylegan2 as sg
+
+    orig = sg.CHANNELS
+    sg.CHANNELS = lambda cm: {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
+                              128: 16, 256: 16, 512: 8, 1024: 8}
+    try:
+        m = sg.SeqStyleGAN2(size=512, style_dim=32, n_mlp=1)
+    finally:
+        sg.CHANNELS = orig
+    assert m._s2d_tail, "8-channel 512-res layer must trigger the tail"
+    p = m.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    o_seq = np.asarray(m(p, z, fast=False))
+    o_fast = np.asarray(m(p, z, fast=True))
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert rel < 1e-4, rel
+    # 256-model (no narrow layers): fast pipeline is literally seq stages
+    m256 = sg.SeqStyleGAN2(size=32, style_dim=16, n_mlp=1)
+    assert not m256._fast_overrides
