@@ -21,10 +21,24 @@ import json
 import time
 
 
-def timeit_distinct(fn, inputs, *args, iters=10):
-    out = fn(inputs[0], *args)
+def materialize(out):
+    """Force a host-visible value. block_until_ready alone is NOT a
+    sufficient warmup on the axon runtime: it can return immediately
+    while the dispatch is still queued behind the remote program load
+    (observed: 'warmed' blocks returning in 0.2 ms while the real
+    compile+first-exec took 470 s, poisoning every timed number after).
+    A host fetch cannot return early."""
     import jax
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+    import numpy as _np
+    leaves = jax.tree_util.tree_leaves(out)
+    return [float(jnp.sum(jnp.abs(x.astype(jnp.float32))))
+            if hasattr(x, "dtype") else _np.sum(x) for x in leaves]
+
+
+def timeit_distinct(fn, inputs, *args, iters=10):
+    import jax
+    materialize(fn(inputs[0], *args))   # see materialize(): real warmup
     t0 = time.perf_counter()
     # hold references to every output: un-referenced results can be
     # dropped by the async runtime, faking impossible throughputs
@@ -93,22 +107,28 @@ def main():
         dt = timeit_distinct(fwd, zbatches(m, b), p, nz, iters=its)
         return b / dt
 
+    # by-precision table at batch 64 (the fp32 'highest' program's temps
+    # exceed v5e HBM at batch 128); the headline mode runs at --batch
     rates = {}
+    tbl_batch = min(batch, 64)
+    tbl_noise = model.prepare_noise(tbl_batch) if tbl_batch != batch \
+        else noise
     for prec in (["highest", "high", "default"] if not args.smoke
                  else [args.precision]):
-        rates[prec] = measure(prec)
+        rates[prec] = measure(prec, b=tbl_batch, nz=tbl_noise)
     if not args.smoke:
         # throughput mode: bf16 activations end-to-end
         from rewriting_tpu.ops.precision import cast_pytree
         set_precision("default")
         pc = cast_pytree(params, jnp.bfloat16)
-        nc = cast_pytree(noise, jnp.bfloat16)
+        nc = cast_pytree(tbl_noise, jnp.bfloat16)
         fwd = tuned_jit(lambda z, p, n: model(p, z, n))
-        zc = [z.astype(jnp.bfloat16) for z in zbatches(model, batch)]
+        zc = [z.astype(jnp.bfloat16) for z in zbatches(model, tbl_batch)]
         dt = timeit_distinct(fwd, zc, pc, nc, iters=iters)
-        rates["bf16_acts"] = batch / dt
+        rates["bf16_acts"] = tbl_batch / dt
     set_precision(args.precision)
-    img_per_sec = rates[args.precision]
+    img_per_sec = (rates[args.precision] if batch == tbl_batch
+                   else measure(args.precision))
     n_dev = jax.device_count()
     img_per_sec_chip = img_per_sec / n_dev
 
@@ -227,6 +247,8 @@ def main():
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     vsolve = jax.jit(jax.vmap(one, in_axes=({k: 0 for k in bags}, 0, 0)))
 
+    materialize(vsolve(bags, gouts, dirs))  # force remote residency
+
     def run_batched():
         t0 = time.perf_counter()
         jax.block_until_ready(vsolve(bags, gouts, dirs))
@@ -248,7 +270,7 @@ def main():
         try:
             from rewriting_tpu.ops.jitopts import tuned_jit
             sample_fn = tuned_jit(lambda p, z: model(p, z))
-            jax.block_until_ready(sample_fn(params, np.zeros(
+            materialize(sample_fn(params, np.zeros(
                 (batch, model.z_dim), np.float32)))  # exclude compile
             t0 = time.perf_counter()
             sample_clean(model, params, tmpd, n=n_small, batch_size=batch,
@@ -260,7 +282,9 @@ def main():
             seg = FaceSegmenter(params=net.init_params(
                 jax.random.PRNGKey(0)))
             zs = zbatches(model, batch)
-            imgs = [np.asarray(model(params, z, noise)) for z in zs]
+            # jitted: an eager forward holds every stage's fmap alive in
+            # the bag (OOMs 16G HBM at batch 128)
+            imgs = [np.asarray(sample_fn(params, z)) for z in zs]
             seg.segment_batch(jnp.asarray(np.clip(imgs[0], -1, 1)))
             t0 = time.perf_counter()
             done = 0

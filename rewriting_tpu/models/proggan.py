@@ -18,6 +18,7 @@ conv + hardtanh — but built TPU-first:
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from typing import Dict, List, Optional, Sequence
@@ -103,6 +104,90 @@ def _return_output(params, d: DataBag) -> DataBag:
 
 
 # ---------------------------------------------------------------------------
+# Fast s2d tail (production sampling): ProgGAN's high-res blocks are
+# narrow-channel (32ch at 256 res, down to 16ch at 1024) and lane-starve
+# the TPU exactly like the StyleGAN2 tail (docs/PERF_NOTES.md). The fast
+# pipeline folds the nearest-neighbor 2x upsample into the conv (per-phase
+# taps over the undilated input — no 2x intermediate is ever materialized)
+# and carries the fmap in space-to-depth layout. Exact regroupings; the
+# seq pipeline remains the instrumentation/editing surface.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _nearest_up_placement() -> np.ndarray:
+    """(p, t, d) taps: nearest-up2x then 3x3 SAME conv == per-output-phase
+    3-tap correlation over the original grid (tap d of the 3x3 kernel
+    lands on original row i + t - 1 for output phase p)."""
+    B = np.zeros((2, 3, 3), np.float32)
+    for p in range(2):
+        for dd in range(3):
+            r = 2 * 0 + p + dd - 1          # upsampled row offset from 2i
+            B[p, r // 2 + 1, dd] += 1.0
+    return B
+
+
+def _fold_up_kernel(w):
+    """(O, I, 3, 3) -> (4O, I, 3, 3) phase kernels of conv∘nearest_up2x
+    (phase-major channel order, s2d convention)."""
+    B = jnp.asarray(_nearest_up_placement())
+    o_c, i_c = w.shape[0], w.shape[1]
+    k = jnp.einsum("ptd,PTD,oidD->pPoitT", B, B, w)
+    return k.reshape(4 * o_c, i_c, 3, 3)
+
+
+def _pixel_norm_s2d(params, d: DataBag) -> DataBag:
+    x = d["fmap"]
+    b, h, w, c4 = x.shape
+    xp = x.reshape(b, h, w, 4, c4 // 4)
+    n = xp * lax.rsqrt(jnp.mean(jnp.square(xp), axis=-1, keepdims=True)
+                       + 1e-8)
+    return DataBag(d, fmap=n.reshape(b, h, w, c4))
+
+
+def _make_fold_up_conv(from_s2d: bool):
+    def fn(params, d: DataBag) -> DataBag:
+        from .stylegan2 import _d2s_of
+        x = d["fmap"]
+        if from_s2d:
+            x = _d2s_of(x)
+        k = _fold_up_kernel(params["weight"])
+        return DataBag(d, fmap=lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=get_precision()))
+    return fn
+
+
+def _conv_s2d_stage(params, d: DataBag) -> DataBag:
+    from .stylegan2 import _s2d_kernel_transform
+    wt = _s2d_kernel_transform(params["weight"])
+    return DataBag(d, fmap=lax.conv_general_dilated(
+        d["fmap"], wt, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=get_precision()))
+
+
+def _make_wscale_s2d(scale: float):
+    def fn(params, d: DataBag) -> DataBag:
+        return DataBag(d, fmap=d["fmap"] * scale
+                       + jnp.tile(params["bias"], 4))
+    return fn
+
+
+def _out_conv1x1_s2d(params, d: DataBag) -> DataBag:
+    """1x1 RGB conv consuming an s2d fmap; output returns to NHWC."""
+    from .stylegan2 import _d2s_of
+    x = d["fmap"]
+    b, h, w, c4 = x.shape
+    i_c = c4 // 4
+    wk = params["weight"][:, :, 0, 0]              # (3, I)
+    xp = x.reshape(b, h, w, 4, i_c)
+    rgb = jnp.einsum("bhwpi,ri->bhwpr", xp, wk,
+                     precision=get_precision())
+    return DataBag(d, fmap=_d2s_of(rgb.reshape(b, h, w, 12)))
+
+
+# ---------------------------------------------------------------------------
 # Model
 # ---------------------------------------------------------------------------
 
@@ -122,15 +207,46 @@ class ProgressiveGenerator:
 
         stages: List[Stage] = [Stage("input", _input_stage)]
         self._conv_specs = {}  # name -> (in_c, out_c, kernel, padding, gain)
+        # fast s2d tail (production sampling, see block comment above)
+        self._fast_overrides: Dict[str, object] = {}
+        self._s2d_tail = False
+        cur_res = [4]
 
         def add_block(name, in_c, out_c, ksize, padding, gain, upsample):
             stages.append(Stage(f"{name}.norm", _pixel_norm))
             if upsample:
                 stages.append(Stage(f"{name}.up", _upscale2x))
+                cur_res[0] *= 2
             stages.append(Stage(f"{name}.conv", _make_conv(padding)))
             scale = gain / math.sqrt(in_c)
             stages.append(Stage(f"{name}.wscale", _make_wscale(scale)))
             self._conv_specs[name] = (in_c, out_c, ksize, padding, gain)
+            # fast-tail overrides. Measured on v5e (HIGH): at 256res/b64
+            # the seq path WINS (50.4 vs 74.4 ms — XLA's batch-64 conv
+            # strategy tolerates 32ch at 256^2), so the tail only engages
+            # at >=512 res where lane starvation dominates (matching the
+            # StyleGAN2 gate; relu is layout-agnostic)
+            if upsample and out_c <= 32 and cur_res[0] >= 512 and ksize == 3:
+                if self._s2d_tail:
+                    self._fast_overrides[f"{name}.norm"] = _pixel_norm_s2d
+                self._fast_overrides[f"{name}.up"] = lambda params, d: d
+                self._fast_overrides[f"{name}.conv"] = \
+                    _make_fold_up_conv(from_s2d=self._s2d_tail)
+                self._fast_overrides[f"{name}.wscale"] = \
+                    _make_wscale_s2d(scale)
+                self._s2d_tail = True
+            elif not upsample and self._s2d_tail and ksize == 3:
+                assert out_c <= 32, (name, out_c)
+                self._fast_overrides[f"{name}.norm"] = _pixel_norm_s2d
+                self._fast_overrides[f"{name}.conv"] = _conv_s2d_stage
+                self._fast_overrides[f"{name}.wscale"] = \
+                    _make_wscale_s2d(scale)
+            elif self._s2d_tail and ksize == 1:
+                # output 1x1 RGB conv: consume s2d, return to NHWC
+                self._fast_overrides[f"{name}.norm"] = _pixel_norm_s2d
+                self._fast_overrides[f"{name}.conv"] = _out_conv1x1_s2d
+            elif self._s2d_tail:  # pragma: no cover
+                raise AssertionError(f"s2d tail interrupted at {name}")
 
         layer_i = 0
 
@@ -162,6 +278,11 @@ class ProgressiveGenerator:
         stages.append(Stage("output", _return_output))
         self.output_layer = out_name
         self.pipeline = StagePipeline(stages)
+        # production sampling pipeline (== pipeline when no layer
+        # qualifies); instrumentation/editing always use `pipeline`
+        self.pipeline_fast = StagePipeline([
+            Stage(s.name, self._fast_overrides.get(s.name, s.fn))
+            for s in stages])
 
     # -- parameters ---------------------------------------------------------
     def init_params(self, key) -> Dict[str, Dict[str, jnp.ndarray]]:
@@ -183,9 +304,12 @@ class ProgressiveGenerator:
         """Input bag for a (B, z_dim) latent batch."""
         return DataBag(latent=jnp.asarray(z))
 
-    def __call__(self, params, z) -> jnp.ndarray:
-        """z (B, z_dim) -> NHWC image in [-1, 1]."""
-        return self.pipeline(params, self.make_bag(z))["output"]
+    def __call__(self, params, z, fast: bool = True) -> jnp.ndarray:
+        """z (B, z_dim) -> NHWC image in [-1, 1]. fast=True (default)
+        runs the production sampling pipeline (fast s2d tail; e2e-exact,
+        == seq stages when no layer qualifies)."""
+        pipe = self.pipeline_fast if fast else self.pipeline
+        return pipe(params, self.make_bag(z))["output"]
 
     def apply_bag(self, params, bag: DataBag) -> DataBag:
         return self.pipeline(params, bag)

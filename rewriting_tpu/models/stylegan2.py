@@ -365,9 +365,10 @@ def _d2s_of(y):
 
 
 def _make_fast_up_dconv_s2d(in_c, out_c, kernel_size, demodulate,
-                            blur_kernel):
+                            blur_kernel, from_s2d=False):
     """Blur-folded subpixel upsampling dconv producing an s2d-layout fmap.
-    Replaces dconv+blur in the fast pipeline (exact composite)."""
+    Replaces dconv+blur in the fast pipeline (exact composite).
+    from_s2d: the previous tail layer already emits s2d layout."""
     assert kernel_size == 3
     fan_in = in_c * kernel_size ** 2
     scale = 1.0 / math.sqrt(fan_in)
@@ -378,6 +379,8 @@ def _make_fast_up_dconv_s2d(in_c, out_c, kernel_size, demodulate,
         wf = jnp.flip(w5[0], (-2, -1)) * scale
         kconv = _composite_up_kernel(wf, bk, out_c, in_c)
         x = d["fmap"]                               # NHWC (tail entry)
+        if from_s2d:
+            x = _d2s_of(x)
         ph = lax.conv_general_dilated(
             x, kconv, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "OIHW", "NHWC"),
@@ -513,10 +516,18 @@ class SeqStyleGAN2:
     """Functional sequential StyleGAN2 (reference: SeqStyleGAN2,
     utils/stylegan2/models.py:31-141). Stage names mirror the reference."""
 
+    # fast s2d tail gates (measured on v5e, docs/PERF_NOTES.md): layers
+    # with out_c <= s2d_tail_max_c at res >= s2d_tail_min_res run the
+    # blur-folded s2d formulation in pipeline_fast
+    s2d_tail_max_c = 32
+    s2d_tail_min_res = 512
+
     def __init__(self, size, style_dim=512, n_mlp=8, channel_multiplier=2,
                  blur_kernel=(1, 3, 3, 1), lr_mlp=0.01, truncation=1.0,
-                 mconv="seq"):
+                 mconv="seq", s2d_tail_max_c=None):
         assert mconv in (None, "seq", "fast"), mconv
+        if s2d_tail_max_c is not None:
+            self.s2d_tail_max_c = s2d_tail_max_c
         self.size = size
         self.style_dim = style_dim
         self.z_dim = style_dim
@@ -588,17 +599,23 @@ class SeqStyleGAN2:
             self._param_specs[f"{prefix}.activate"] = ("act_bias", out_c)
             # fast s2d tail (production sampling): measured win on v5e for
             # <=32-channel layers at >=512 resolution (docs/PERF_NOTES.md)
-            if upsample and out_c <= 32 and (res or 0) >= 512:
+            if (upsample and out_c <= self.s2d_tail_max_c
+                    and (res or 0) >= self.s2d_tail_min_res):
+                if self._s2d_tail:  # previous tail layer emits s2d
+                    self._fast_overrides[f"{prefix}.mconv.adain"] = \
+                        _apply_style_s2d
                 self._fast_overrides[f"{prefix}.mconv.dconv"] = \
                     _make_fast_up_dconv_s2d(in_c, out_c, 3, True,
-                                            self.blur_kernel)
+                                            self.blur_kernel,
+                                            from_s2d=self._s2d_tail)
                 self._fast_overrides[f"{prefix}.mconv.blur"] = \
                     lambda params, d: d
                 self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
                 self._s2d_tail = True
             elif not upsample and self._s2d_tail:
-                assert in_c <= 32 and out_c <= 32, (prefix, in_c, out_c)
+                assert in_c <= self.s2d_tail_max_c \
+                    and out_c <= self.s2d_tail_max_c, (prefix, in_c, out_c)
                 self._fast_overrides[f"{prefix}.mconv.adain"] = \
                     _apply_style_s2d
                 self._fast_overrides[f"{prefix}.mconv.dconv"] = \

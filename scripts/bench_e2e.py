@@ -5,6 +5,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 
@@ -26,8 +27,9 @@ def main():
               for i in range(4)]
         jax.block_until_ready(zs)
         fwd = tuned_jit(lambda z, p, n: model(p, z, n))
-        out = fwd(zs[0], params, noise)
-        jax.block_until_ready(out)
+        # host fetch: block_until_ready can return while the dispatch is
+        # still queued behind the remote program load (docs/PERF_NOTES.md)
+        float(jnp.sum(fwd(zs[0], params, noise)))
         iters = 12 if size == 256 else 8
         t0 = time.perf_counter()
         outs = [fwd(zs[i % 4], params, noise) for i in range(iters)]

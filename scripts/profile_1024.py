@@ -17,8 +17,8 @@ from rewriting_tpu.ops.precision import set_precision
 def timeit(fn, zs, *args, iters=6):
     # distinct z per dispatch: repeated identical executions can be served
     # from the remote runtime's cache, faking the timing (CLAUDE.md)
-    out = fn(zs[0], *args)
-    jax.block_until_ready(out)
+    import jax.numpy as _jnp
+    float(_jnp.sum(fn(zs[0], *args)))  # host fetch: real warmup (PERF_NOTES)
     t0 = time.perf_counter()
     outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
     jax.block_until_ready(outs)

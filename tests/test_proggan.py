@@ -68,3 +68,28 @@ def test_z_prefix_stability():
     a = standard_z_sample(10, 16, seed=1)
     b = standard_z_sample(100, 16, seed=1)
     np.testing.assert_array_equal(a, b[:10])
+
+
+def test_proggan_fast_s2d_tail_matches_seq():
+    """pipeline_fast (nearest-up folded into the conv + s2d layout for the
+    <=32-channel >=256-res tail) must be e2e-exact vs the seq pipeline,
+    including the chained two-up-block case."""
+    from rewriting_tpu.models import ProgressiveGenerator
+
+    # 256-res models stay fully seq (measured faster at 256res/b64)
+    m256 = ProgressiveGenerator(sizes=[32, 16, 16, 16, 16, 16, 16, 8])
+    assert m256.resolution == 256 and not m256._fast_overrides
+    for sizes, res in (([32, 16, 16, 16, 16, 16, 16, 16, 8], 512),
+                       ([32, 16, 16, 16, 16, 16, 16, 16, 16, 8], 1024)):
+        m = ProgressiveGenerator(sizes=sizes)
+        assert m.resolution == res and m._fast_overrides
+        p = m.init_params(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        o_seq = np.asarray(m(p, z, fast=False))
+        o_fast = np.asarray(m(p, z, fast=True))
+        rel = np.max(np.abs(o_fast - o_seq)) / max(np.max(np.abs(o_seq)),
+                                                   1e-9)
+        assert rel < 1e-4, (res, rel)
+    # small models have no qualifying layers: fast pipeline == seq stages
+    m8 = ProgressiveGenerator(resolution=8)
+    assert not m8._fast_overrides

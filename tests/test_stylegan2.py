@@ -137,3 +137,27 @@ def test_fast_s2d_tail_pipeline_matches_seq():
     # 256-model (no narrow layers): fast pipeline is literally seq stages
     m256 = sg.SeqStyleGAN2(size=32, style_dim=16, n_mlp=1)
     assert not m256._fast_overrides
+
+
+def test_fast_s2d_tail_chained_up_layers():
+    """With a wider channel gate, consecutive up layers stay in the s2d
+    tail (the second up-conv consumes s2d input); still e2e-exact."""
+    import rewriting_tpu.models.stylegan2 as sg
+
+    orig = sg.CHANNELS
+    sg.CHANNELS = lambda cm: {4: 24, 8: 24, 16: 24, 32: 24, 64: 24,
+                              128: 24, 256: 24, 512: 16, 1024: 8}
+    try:
+        m = sg.SeqStyleGAN2(size=1024, style_dim=32, n_mlp=1,
+                            s2d_tail_max_c=16)
+    finally:
+        sg.CHANNELS = orig
+    ups = sorted(k for k in m._fast_overrides if k.endswith(".mconv.dconv"))
+    assert "layer15.sconv.mconv.dconv" in ups  # tail entry (NHWC input)
+    assert "layer17.sconv.mconv.dconv" in ups  # chained (s2d input)
+    p = m.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    o_seq = np.asarray(m(p, z, fast=False))
+    o_fast = np.asarray(m(p, z, fast=True))
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert rel < 1e-4, rel
