@@ -93,9 +93,13 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     noise = model.prepare_noise(batch)
 
-    def zbatches(m, b, n=4):
+    def zbatches(m, b, n=None):
+        # one distinct z batch per timed iteration: the runtime serves
+        # repeated (program, input-values) pairs from a cache (PERF_NOTES
+        # "VALUE-level execution cache"), so rotating a shorter list
+        # inflates throughput
         zs = [jax.random.normal(jax.random.PRNGKey(i), (b, m.z_dim))
-              for i in range(n)]
+              for i in range(n or iters)]
         jax.block_until_ready(zs)
         return zs
 

@@ -170,3 +170,61 @@ def upsample2x_pallas(x, kernel, pad: Tuple[int, int]):
         scratch_shapes=[pltpu.VMEM((th + halo + max_d, wp, c), x.dtype),
                         pltpu.SemaphoreType.DMA],
     )(xp_flat)
+
+
+# ---------------------------------------------------------------------------
+# BlockSpec-only blur: the halo trick without manual DMA
+# ---------------------------------------------------------------------------
+#
+# The kernels above stream halo'd row-tiles with explicit HBM->VMEM
+# async copies — the one construct that faults this image's axon worker.
+# But a halo IS expressible with pure BlockSpecs: pass the SAME padded
+# input twice at two block granularities — a (th, Wp, C) main block at
+# row t*th, plus a (hb, Wp, C) halo block whose index map selects rows
+# [(t+1)*th, (t+1)*th + hb) (valid whenever hb divides (t+1)*th, i.e.
+# th % hb == 0). The automatic pipelining does all data movement.
+# Extra read traffic = hb/th of the input (hb = 4 rows for the 4x4 FIR).
+
+def _blur_bs_body(main, halo, out_ref, *, kflip, th):
+    kh, kw = kflip.shape
+    rows = jnp.concatenate([main[0], halo[0, :kh - 1]], axis=0)
+    wo = out_ref.shape[2]
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            acc += kflip[i, j] * rows[i:i + th, j:j + wo, :].astype(
+                jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
+                     interpret: bool = False):
+    """upfirdn2d(x, k, up=1, down=1, pad) via BlockSpec-only pipelining.
+    `kernel` must be concrete (host numpy)."""
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    kflip = np.flip(np.asarray(kernel, np.float32), (0, 1))
+    p0, p1 = pad
+    ho = h + p0 + p1 - kh + 1
+    wo = w + p0 + p1 - kw + 1
+    th = _choose_tile(ho)
+    hb = max(kh - 1, 1)
+    while th % hb:
+        hb += 1                       # hb must divide th (and every t*th)
+    # pad rows so the last halo block [(T)*th, T*th + hb) is in bounds
+    extra = ho + hb - (h + p0 + p1)
+    xp = jnp.pad(x, ((0, 0), (p0, p1 + max(extra, 0)), (p0, p1), (0, 0)))
+    wp = xp.shape[2]
+    return pl.pallas_call(
+        functools.partial(_blur_bs_body, kflip=kflip, th=th),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+        grid=(n, ho // th),
+        in_specs=[
+            pl.BlockSpec((1, th, wp, c), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, hb, wp, c),
+                         lambda b, t, th=th, hb=hb:
+                         (b, ((t + 1) * th) // hb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wo, c), lambda b, t: (b, t, 0, 0)),
+        interpret=interpret,
+    )(xp, xp)

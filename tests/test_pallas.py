@@ -60,3 +60,23 @@ def test_pallas_probe_gating(tmp_path, monkeypatch):
     k = jnp.ones((4, 4)) / 16.0
     x_rgb = jnp.zeros((1, 8, 8, 3))
     assert not _pallas_eligible(x_rgb, k)  # narrow maps: XLA path
+
+
+def test_blockspec_blur_interpret():
+    """BlockSpec-only halo blur (no manual DMA) matches the XLA
+    formulation exactly in interpret mode, across pads and tile shapes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rewriting_tpu.ops.upfirdn2d import make_kernel, upfirdn2d
+    from rewriting_tpu.ops.pallas_upfirdn import blur2d_pallas_bs
+
+    kern = np.asarray(make_kernel([1, 3, 3, 1]))
+    rng = np.random.RandomState(0)
+    for shape, pad in (((2, 32, 32, 128), (2, 1)),
+                       ((2, 33, 33, 64), (1, 1)),
+                       ((1, 16, 16, 8), (2, 1))):
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        want = upfirdn2d(x, jnp.asarray(kern) * 4.0, up=1, down=1, pad=pad)
+        got = blur2d_pallas_bs(x, kern * 4.0, pad, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
