@@ -200,7 +200,9 @@ def _blur_bs_body(main, halo, out_ref, *, kflip, th):
 def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
                      interpret: bool = False):
     """upfirdn2d(x, k, up=1, down=1, pad) via BlockSpec-only pipelining.
-    `kernel` must be concrete (host numpy)."""
+    `kernel` must be concrete (host numpy). Channels are gridded in
+    lane-sized blocks (depthwise ⇒ independent) to bound the Mosaic
+    scoped-VMEM stack."""
     n, h, w, c = x.shape
     kh, kw = kernel.shape
     kflip = np.flip(np.asarray(kernel, np.float32), (0, 1))
@@ -211,6 +213,9 @@ def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
     hb = max(kh - 1, 1)
     while th % hb:
         hb += 1                       # hb must divide th (and every t*th)
+    cb = c if c <= 128 else 128
+    while c % cb:
+        cb //= 2
     # pad rows so the last halo block [(T)*th, T*th + hb) is in bounds
     extra = ho + hb - (h + p0 + p1)
     xp = jnp.pad(x, ((0, 0), (p0, p1 + max(extra, 0)), (p0, p1), (0, 0)))
@@ -218,13 +223,14 @@ def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
     return pl.pallas_call(
         functools.partial(_blur_bs_body, kflip=kflip, th=th),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
-        grid=(n, ho // th),
+        grid=(n, ho // th, c // cb),
         in_specs=[
-            pl.BlockSpec((1, th, wp, c), lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec((1, hb, wp, c),
-                         lambda b, t, th=th, hb=hb:
-                         (b, ((t + 1) * th) // hb, 0, 0)),
+            pl.BlockSpec((1, th, wp, cb), lambda b, t, k: (b, t, 0, k)),
+            pl.BlockSpec((1, hb, wp, cb),
+                         lambda b, t, k, th=th, hb=hb:
+                         (b, ((t + 1) * th) // hb, 0, k)),
         ],
-        out_specs=pl.BlockSpec((1, th, wo, c), lambda b, t: (b, t, 0, 0)),
+        out_specs=pl.BlockSpec((1, th, wo, cb),
+                               lambda b, t, k: (b, t, 0, k)),
         interpret=interpret,
     )(xp, xp)
