@@ -168,27 +168,18 @@ def _conv3x3_s2d(x, w):
     convolving with the phase-transformed kernel (4O, 4I, 3, 3) does 2x
     the MACs of the exact conv but with full lane occupancy — a large net
     win.  Exact regrouping of the same products (each original tap appears
-    once; structural zeros elsewhere)."""
-    b, h, w_, c = x.shape
-    o_c, i_c = w.shape[0], w.shape[1]
-    xs = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_ // 2, 4 * c)
-    A = jnp.asarray(_s2d_placement())
-    # R[p,P,o, q,Q,i, t,T] = sum_{d,D} A[p,q,t,d] A[P,Q,T,D] w[o,i,d,D]
-    wt = jnp.einsum("pqtd,PQTD,oidD->pPoqQitT", A, A, w)
-    wt = wt.reshape(4 * o_c, 4 * i_c, 3, 3)
-    ys = lax.conv_general_dilated(
-        xs, wt, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        precision=get_precision())
-    ys = ys.reshape(b, h // 2, w_ // 2, 2, 2, o_c)
-    return ys.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w_, o_c)
+    once; structural zeros elsewhere).  NHWC-in/NHWC-out wrapper around
+    the fast-tail helpers; the production tail avoids the two transposes
+    by staying in s2d layout across stages."""
+    return _d2s_of(_conv3x3_s2d_pre(_s2d_of(x), _s2d_kernel_transform(w)))
 
 
 def _use_s2d(h, w, in_c, out_c) -> bool:
     # measured (v5e, HIGH, chained): wins at 32ch/1024res (56.8->50.8 ms),
     # loses at 64ch (17.1->25.3) where plain lanes are half-occupied but
-    # the 2x MAC redundancy + transposes outweigh the gain
+    # the 2x MAC redundancy + transposes outweigh the gain. Used only to
+    # gate the FAST pipeline's tail — the seq pipeline always runs the
+    # reference formulation (it is the bit-exact instrumentation surface).
     return (in_c <= 32 and out_c <= 32 and h >= 256
             and h % 2 == 0 and w % 2 == 0)
 
@@ -211,9 +202,6 @@ def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "OIHW", "NHWC"),
                 precision=get_precision())
-        elif (kernel_size == 3
-              and _use_s2d(x.shape[1], x.shape[2], in_c, out_c)):
-            out = _conv3x3_s2d(x, w5[0] * scale)
         else:
             out = lax.conv_general_dilated(
                 x, w5[0] * scale, window_strides=(1, 1),
@@ -395,7 +383,7 @@ def _make_fast_up_dconv_s2d(in_c, out_c, kernel_size, demodulate,
     return fn
 
 
-def _make_dconv_s2d(in_c, out_c):
+def _make_dconv_s2d(in_c, out_c, demodulate=True):
     """Plain 3x3 dconv consuming and producing s2d-layout fmaps."""
     scale = 1.0 / math.sqrt(in_c * 9)
 
@@ -403,7 +391,7 @@ def _make_dconv_s2d(in_c, out_c):
         w5 = params["weight"]
         wt = _s2d_kernel_transform(w5[0] * scale)
         out = _conv3x3_s2d_pre(d["fmap"], wt)
-        if True:  # demodulate (all styled convs demodulate)
+        if demodulate:
             style = d["style"]
             w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
             demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,

@@ -209,10 +209,17 @@ def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
     p0, p1 = pad
     ho = h + p0 + p1 - kh + 1
     wo = w + p0 + p1 - kw + 1
-    th = _choose_tile(ho)
+    assert ho >= kh - 1, (ho, kh, "output too small for the halo scheme")
     hb = max(kh - 1, 1)
-    while th % hb:
-        hb += 1                       # hb must divide th (and every t*th)
+    # th must be a multiple of hb that divides ho (so every halo offset
+    # (t+1)*th is a block multiple). Fallback for ho with no such tile
+    # (e.g. prime): a single full tile, with hb the smallest divisor of
+    # ho >= kh-1 so the one halo offset (= ho) stays block-aligned.
+    th = next((t for t in range(min(16, ho), 0, -1)
+               if ho % t == 0 and t % hb == 0), None)
+    if th is None:
+        th = ho
+        hb = next(b for b in range(kh - 1, ho + 1) if ho % b == 0)
     cb = c if c <= 128 else 128
     while c % cb:
         cb //= 2

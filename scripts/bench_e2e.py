@@ -23,16 +23,19 @@ def main():
         model = SeqStyleGAN2(size=size)
         params = model.init_params(jax.random.PRNGKey(0))
         noise = model.prepare_noise(b)
+        iters = 12 if size == 256 else 8
+        # one distinct z per timed dispatch + one for warmup: repeated
+        # (program, values) pairs can be served from the runtime's
+        # value-level execution cache (docs/PERF_NOTES.md)
         zs = [jax.random.normal(jax.random.PRNGKey(i), (b, 512))
-              for i in range(4)]
+              for i in range(iters + 1)]
         jax.block_until_ready(zs)
         fwd = tuned_jit(lambda z, p, n: model(p, z, n))
         # host fetch: block_until_ready can return while the dispatch is
         # still queued behind the remote program load (docs/PERF_NOTES.md)
-        float(jnp.sum(fwd(zs[0], params, noise)))
-        iters = 12 if size == 256 else 8
+        float(jnp.sum(fwd(zs[-1], params, noise)))
         t0 = time.perf_counter()
-        outs = [fwd(zs[i % 4], params, noise) for i in range(iters)]
+        outs = [fwd(zs[i], params, noise) for i in range(iters)]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({"size": size, "batch": b,

@@ -15,12 +15,14 @@ from rewriting_tpu.ops.precision import set_precision
 
 
 def timeit(fn, zs, *args, iters=6):
-    # distinct z per dispatch: repeated identical executions can be served
-    # from the remote runtime's cache, faking the timing (CLAUDE.md)
+    # one distinct z per timed dispatch (zs[-1] warms): repeated
+    # (program, values) pairs can be served from the runtime's value
+    # cache (docs/PERF_NOTES.md)
     import jax.numpy as _jnp
-    float(_jnp.sum(fn(zs[0], *args)))  # host fetch: real warmup (PERF_NOTES)
+    assert len(zs) > iters
+    float(_jnp.sum(fn(zs[-1], *args)))  # host fetch: real warmup
     t0 = time.perf_counter()
-    outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
+    outs = [fn(zs[i], *args) for i in range(iters)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
@@ -32,7 +34,7 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     batch = 8
     zs = [jax.random.normal(jax.random.PRNGKey(i + 1), (batch, 512))
-          for i in range(4)]
+          for i in range(7)]
     jax.block_until_ready(zs)
     noise = model.prepare_noise(batch)
     # cuts: every layer from 64x64 up + final rgb stages

@@ -74,7 +74,11 @@ def test_blockspec_blur_interpret():
     rng = np.random.RandomState(0)
     for shape, pad in (((2, 32, 32, 128), (2, 1)),
                        ((2, 33, 33, 64), (1, 1)),
-                       ((1, 16, 16, 8), (2, 1))):
+                       ((1, 16, 16, 8), (2, 1)),
+                       # ho=34: no tile <=16 divides it and is a multiple
+                       # of 3 -> single-tile fallback (used to hang)
+                       ((1, 35, 35, 8), (1, 1)),
+                       ((1, 19, 19, 8), (1, 1))):  # ho=17 prime
         x = jnp.asarray(rng.randn(*shape), jnp.float32)
         want = upfirdn2d(x, jnp.asarray(kern) * 4.0, up=1, down=1, pad=pad)
         got = blur2d_pallas_bs(x, kern * 4.0, pad, interpret=True)
