@@ -15,7 +15,8 @@ NB_DIR = os.path.join(os.path.dirname(__file__), "..", "notebooks")
 @pytest.mark.parametrize("name", ["rewriting-interface",
                                   "reflection-rule-change",
                                   "stats/segmentation-stats",
-                                  "stats/face-label-stats"])
+                                  "stats/face-label-stats",
+                                  "stats/attribute-comparison"])
 def test_notebook_executes(name, tmp_path):
     nb = nbformat.read(os.path.join(NB_DIR, f"{name}.ipynb"),
                        as_version=4)
