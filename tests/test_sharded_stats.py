@@ -97,3 +97,32 @@ def test_sample_clean_on_mesh(tmp_path):
         pa = (a / f"{i}.png").read_bytes()
         pb = (b / f"{i}.png").read_bytes()
         assert pa == pb, f"image {i} differs"
+
+
+def test_fast_s2d_tail_under_mesh_sharding():
+    """The production fast pipeline (s2d tail) must compile and run
+    data-parallel over a device mesh — the tail's layout tricks are all
+    per-sample, so batch sharding must pass through untouched."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import rewriting_tpu.models.stylegan2 as sg
+
+    orig = sg.CHANNELS
+    sg.CHANNELS = lambda cm: {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
+                              128: 16, 256: 16, 512: 8, 1024: 8}
+    try:
+        m = sg.SeqStyleGAN2(size=512, style_dim=32, n_mlp=1)
+    finally:
+        sg.CHANNELS = orig
+    assert m._s2d_tail
+    p = m.init_params(jax.random.PRNGKey(0))
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(-1), ("dp",))
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 32))
+    zsh = jax.device_put(z, NamedSharding(mesh, P("dp", None)))
+    out = jax.jit(lambda p, z: m(p, z))(p, zsh)
+    ref = m(p, z, fast=False)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert out.shape == (8, 512, 512, 3) and rel < 1e-4, rel
