@@ -174,16 +174,6 @@ def _conv3x3_s2d(x, w):
     return _d2s_of(_conv3x3_s2d_pre(_s2d_of(x), _s2d_kernel_transform(w)))
 
 
-def _use_s2d(h, w, in_c, out_c) -> bool:
-    # measured (v5e, HIGH, chained): wins at 32ch/1024res (56.8->50.8 ms),
-    # loses at 64ch (17.1->25.3) where plain lanes are half-occupied but
-    # the 2x MAC redundancy + transposes outweigh the gain. Used only to
-    # gate the FAST pipeline's tail — the seq pipeline always runs the
-    # reference formulation (it is the bit-exact instrumentation surface).
-    return (in_c <= 32 and out_c <= 32 and h >= 256
-            and h % 2 == 0 and w % 2 == 0)
-
-
 def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
     fan_in = in_c * kernel_size ** 2
     scale = 1.0 / math.sqrt(fan_in)
@@ -383,20 +373,20 @@ def _make_fast_up_dconv_s2d(in_c, out_c, kernel_size, demodulate,
     return fn
 
 
-def _make_dconv_s2d(in_c, out_c, demodulate=True):
-    """Plain 3x3 dconv consuming and producing s2d-layout fmaps."""
+def _make_dconv_s2d(in_c, out_c):
+    """Plain 3x3 dconv consuming and producing s2d-layout fmaps.
+    Always demodulates (every styled 3x3 conv in the model does)."""
     scale = 1.0 / math.sqrt(in_c * 9)
 
     def fn(params, d: DataBag) -> DataBag:
         w5 = params["weight"]
         wt = _s2d_kernel_transform(w5[0] * scale)
         out = _conv3x3_s2d_pre(d["fmap"], wt)
-        if demodulate:
-            style = d["style"]
-            w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
-            demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
-                                      precision=get_precision()) + 1e-8)
-            out = out * jnp.tile(demod, (1, 4))[:, None, None, :]
+        style = d["style"]
+        w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
+        demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                  precision=get_precision()) + 1e-8)
+        out = out * jnp.tile(demod, (1, 4))[:, None, None, :]
         return DataBag(d, fmap=out)
     return fn
 

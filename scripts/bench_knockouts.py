@@ -25,10 +25,13 @@ from rewriting_tpu.ops.precision import set_precision
 
 
 def timeit_distinct(fn, zs, *args, iters=10):
-    out = fn(zs[0], *args)
-    jax.block_until_ready(out)
+    # one distinct z per timed dispatch, fetch-warmed on a perturbed copy
+    # (value-cache + program-residency traps: docs/PERF_NOTES.md)
+    import jax.numpy as _jnp
+    assert len(zs) >= iters, (len(zs), iters)
+    float(_jnp.sum(fn(zs[0] + 0.01, *args)))
     t0 = time.perf_counter()
-    outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
+    outs = [fn(zs[i], *args) for i in range(iters)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
@@ -39,7 +42,7 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     batch = 64
     zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
-          for i in range(4)]
+          for i in range(10)]
     jax.block_until_ready(zs)
     noise = model.prepare_noise(batch)
 

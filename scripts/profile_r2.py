@@ -27,16 +27,13 @@ def timeit(fn, *args, iters=10):
 
 
 def timeit_distinct(fn, zs, *args, iters=10):
-    """Pipelined timing over pre-materialized DISTINCT inputs: keeps
-    dispatch pipelining (steady-state throughput) while ruling out any
-    identical-execution caching in the remote runtime."""
-    out = fn(zs[0], *args)
-    jax.block_until_ready(out)
+    # one distinct z per timed dispatch, fetch-warmed on a perturbed copy
+    # (value-cache + program-residency traps: docs/PERF_NOTES.md)
+    import jax.numpy as _jnp
+    assert len(zs) >= iters, (len(zs), iters)
+    float(_jnp.sum(fn(zs[0] + 0.01, *args)))
     t0 = time.perf_counter()
-    # IMPORTANT: hold references to every output — un-referenced results
-    # can be dropped/skipped by the async runtime (observed: impossible
-    # throughputs when outputs were overwritten in the loop)
-    outs = [fn(zs[i % len(zs)], *args) for i in range(iters)]
+    outs = [fn(zs[i], *args) for i in range(iters)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
@@ -72,7 +69,7 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0))
         for batch in (64, 128):
             zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
-                  for i in range(4)]
+                  for i in range(10)]
             jax.block_until_ready(zs)
             noise = model.prepare_noise(batch)
             for fused in (False, True):
@@ -168,7 +165,7 @@ def variants():
     params = model.init_params(jax.random.PRNGKey(0))
     for batch in (96, 160):
         zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
-              for i in range(4)]
+              for i in range(10)]
         jax.block_until_ready(zs)
         noise = model.prepare_noise(batch)
         fwd = jax.jit(lambda z, p, n: model(p, z, n))
@@ -184,7 +181,7 @@ def variants():
         for s in model.pipeline.stages])
     batch = 64
     zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
-          for i in range(4)]
+          for i in range(10)]
     noise = model.prepare_noise(batch)
     fwd13 = jax.jit(lambda z, p, n: pipe13(p, model.make_bag(z, n))[
         "output"])
@@ -202,7 +199,7 @@ def diagnose():
     params = model.init_params(jax.random.PRNGKey(0))
     batch = 64
     zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, 512))
-          for i in range(4)]
+          for i in range(10)]
     noise = model.prepare_noise(batch)
 
     fwd = jax.jit(lambda z, p, n: model(p, z, n))

@@ -41,3 +41,22 @@ def blob(h, w, cy, cx, r):
     """Circular test mask used across the rewriting tests."""
     yy, xx = np.mgrid[0:h, 0:w]
     return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
+
+
+def tiny_channel_stylegan(size, s2d_tail_max_c=None, style_dim=32, n_mlp=1,
+                          ch=None):
+    """SeqStyleGAN2 with shrunken channels so the <=32-channel fast-tail
+    gate triggers at CPU-testable sizes (shared by the fast-pipeline
+    exactness and mesh-sharding tests)."""
+    import rewriting_tpu.models.stylegan2 as sg
+    orig = sg.CHANNELS
+    table = ch or {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
+                   128: 16, 256: 16, 512: 8, 1024: 8}
+    sg.CHANNELS = lambda cm: dict(table)
+    try:
+        kw = {} if s2d_tail_max_c is None else \
+            {"s2d_tail_max_c": s2d_tail_max_c}
+        return sg.SeqStyleGAN2(size=size, style_dim=style_dim,
+                               n_mlp=n_mlp, **kw)
+    finally:
+        sg.CHANNELS = orig

@@ -108,12 +108,8 @@ def test_conv3x3_s2d_matches_plain_conv():
     """Space-to-depth 3x3 conv (narrow-channel high-res path) is an exact
     regrouping of the plain SAME conv."""
     from jax import lax
-    from rewriting_tpu.models.stylegan2 import _conv3x3_s2d, _use_s2d
+    from rewriting_tpu.models.stylegan2 import _conv3x3_s2d
 
-    assert _use_s2d(1024, 1024, 32, 32)
-    assert not _use_s2d(512, 512, 64, 64)     # measured slower at 64ch
-    assert not _use_s2d(128, 128, 128, 128)   # full lanes already
-    assert not _use_s2d(64, 64, 512, 512)
     rng = np.random.RandomState(1)
     for h, ci, co in ((8, 3, 5), (16, 32, 32), (12, 64, 32)):
         x = jnp.asarray(rng.randn(2, h, h, ci), jnp.float32)

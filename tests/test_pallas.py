@@ -78,7 +78,7 @@ def test_blockspec_blur_interpret():
                        # ho=34: no tile <=16 divides it and is a multiple
                        # of 3 -> single-tile fallback (used to hang)
                        ((1, 35, 35, 8), (1, 1)),
-                       ((1, 19, 19, 8), (1, 1))):  # ho=17 prime
+                       ((1, 18, 18, 8), (1, 1))):  # ho=17 prime -> hb=th=17
         x = jnp.asarray(rng.randn(*shape), jnp.float32)
         want = upfirdn2d(x, jnp.asarray(kern) * 4.0, up=1, down=1, pad=pad)
         got = blur2d_pallas_bs(x, kern * 4.0, pad, interpret=True)

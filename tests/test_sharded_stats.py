@@ -107,15 +107,9 @@ def test_fast_s2d_tail_under_mesh_sharding():
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    import rewriting_tpu.models.stylegan2 as sg
+    from conftest import tiny_channel_stylegan
 
-    orig = sg.CHANNELS
-    sg.CHANNELS = lambda cm: {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
-                              128: 16, 256: 16, 512: 8, 1024: 8}
-    try:
-        m = sg.SeqStyleGAN2(size=512, style_dim=32, n_mlp=1)
-    finally:
-        sg.CHANNELS = orig
+    m = tiny_channel_stylegan(512)
     assert m._s2d_tail
     p = m.init_params(jax.random.PRNGKey(0))
     devs = jax.devices()[:8]

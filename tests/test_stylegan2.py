@@ -119,14 +119,9 @@ def test_fast_s2d_tail_pipeline_matches_seq():
     pipeline. Channels are shrunk so the <=32-channel tail gate triggers
     at CPU-testable sizes."""
     import rewriting_tpu.models.stylegan2 as sg
+    from conftest import tiny_channel_stylegan
 
-    orig = sg.CHANNELS
-    sg.CHANNELS = lambda cm: {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
-                              128: 16, 256: 16, 512: 8, 1024: 8}
-    try:
-        m = sg.SeqStyleGAN2(size=512, style_dim=32, n_mlp=1)
-    finally:
-        sg.CHANNELS = orig
+    m = tiny_channel_stylegan(512)
     assert m._s2d_tail, "8-channel 512-res layer must trigger the tail"
     p = m.init_params(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
@@ -142,16 +137,11 @@ def test_fast_s2d_tail_pipeline_matches_seq():
 def test_fast_s2d_tail_chained_up_layers():
     """With a wider channel gate, consecutive up layers stay in the s2d
     tail (the second up-conv consumes s2d input); still e2e-exact."""
-    import rewriting_tpu.models.stylegan2 as sg
+    from conftest import tiny_channel_stylegan
 
-    orig = sg.CHANNELS
-    sg.CHANNELS = lambda cm: {4: 24, 8: 24, 16: 24, 32: 24, 64: 24,
-                              128: 24, 256: 24, 512: 16, 1024: 8}
-    try:
-        m = sg.SeqStyleGAN2(size=1024, style_dim=32, n_mlp=1,
-                            s2d_tail_max_c=16)
-    finally:
-        sg.CHANNELS = orig
+    m = tiny_channel_stylegan(1024, s2d_tail_max_c=16,
+                              ch={4: 24, 8: 24, 16: 24, 32: 24, 64: 24,
+                                  128: 24, 256: 24, 512: 16, 1024: 8})
     ups = sorted(k for k in m._fast_overrides if k.endswith(".mconv.dconv"))
     assert "layer15.sconv.mconv.dconv" in ups  # tail entry (NHWC input)
     assert "layer17.sconv.mconv.dconv" in ups  # chained (s2d input)
