@@ -93,13 +93,15 @@ def variant_c(x, w):
     return out.reshape(b, 2 * h, 2 * wd, o)
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, x, *args, iters=20):
+    # fetch-warmed on a perturbed copy; one value-distinct dispatch per
+    # iteration (identical (program, values) pairs can be served from the
+    # runtime's execution cache — docs/PERF_NOTES.md). The first arg must
+    # be the input tensor.
+    float(jnp.sum(fn(x + 0.01, *args)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(x + 1e-6 * (i + 1), *args) for i in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters * 1000
 
 
