@@ -59,9 +59,12 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
     # link with the chip).
     import jax.numpy as jnp
 
-    # byte-exact with renormalize.renormalize(x, "zc", "byte"): the same
-    # fp32 scale/offset (0.5 / float32(1/255) != 127.5 exactly) and
-    # truncating cast (floor == numpy's astype(uint8) for non-negatives)
+    # round-trip-equivalent with renormalize.renormalize(x, "zc", "byte"):
+    # the same fp32 scale/offset (0.5 / float32(1/255) != 127.5 exactly)
+    # and truncating cast (floor == numpy's astype(uint8) for
+    # non-negatives).  Byte-exact on backends that round clip(x)*s+s in
+    # two steps (CPU, current TPU); a backend that emits a fused FMA can
+    # differ by 1 LSB at integer boundaries.
     scale = np.float32(0.5) / np.float32(1.0 / 255.0)
 
     @jax.jit

@@ -144,6 +144,14 @@ def _pixel_norm_s2d(params, d: DataBag) -> DataBag:
     return DataBag(d, fmap=n.reshape(b, h, w, c4))
 
 
+def _pixel_norm_from_s2d(params, d: DataBag) -> DataBag:
+    """pixel-norm for a block that ends the fast s2d tail: bridge the
+    incoming s2d-layout fmap back to NHWC, then normalize normally (the
+    rest of the block runs its seq stages)."""
+    from .stylegan2 import _d2s_of
+    return _pixel_norm(params, DataBag(d, fmap=_d2s_of(d["fmap"])))
+
+
 def _make_fold_up_conv(from_s2d: bool):
     def fn(params, d: DataBag) -> DataBag:
         from .stylegan2 import _d2s_of
@@ -235,8 +243,8 @@ class ProgressiveGenerator:
                 self._fast_overrides[f"{name}.wscale"] = \
                     _make_wscale_s2d(scale)
                 self._s2d_tail = True
-            elif not upsample and self._s2d_tail and ksize == 3:
-                assert out_c <= 32, (name, out_c)
+            elif (not upsample and self._s2d_tail and ksize == 3
+                    and out_c <= 32):
                 self._fast_overrides[f"{name}.norm"] = _pixel_norm_s2d
                 self._fast_overrides[f"{name}.conv"] = _conv_s2d_stage
                 self._fast_overrides[f"{name}.wscale"] = \
@@ -245,8 +253,13 @@ class ProgressiveGenerator:
                 # output 1x1 RGB conv: consume s2d, return to NHWC
                 self._fast_overrides[f"{name}.norm"] = _pixel_norm_s2d
                 self._fast_overrides[f"{name}.conv"] = _out_conv1x1_s2d
-            elif self._s2d_tail:  # pragma: no cover
-                raise AssertionError(f"s2d tail interrupted at {name}")
+            elif self._s2d_tail:
+                # A non-qualifying (wide or otherwise unusual) block after
+                # the tail engaged: degrade gracefully — end the tail with
+                # a d2s bridge at this block's pixel-norm and fall back to
+                # the seq stages, so construction always succeeds.
+                self._fast_overrides[f"{name}.norm"] = _pixel_norm_from_s2d
+                self._s2d_tail = False
 
         layer_i = 0
 

@@ -396,6 +396,13 @@ def _apply_style_s2d(params, d: DataBag) -> DataBag:
                    * d["fmap"])
 
 
+def _apply_style_from_s2d(params, d: DataBag) -> DataBag:
+    """adain for a layer that ends the fast s2d tail: bridge the incoming
+    s2d-layout fmap back to NHWC, then apply style normally (the rest of
+    the layer runs its seq stages)."""
+    return DataBag(d, fmap=d["style"][:, None, None, :] * _d2s_of(d["fmap"]))
+
+
 def _noise_inject_s2d(params, d: DataBag) -> DataBag:
     x = d["fmap"]                                   # (B, h2, w2, 4C)
     b, h2, w2, c4 = x.shape
@@ -591,17 +598,24 @@ class SeqStyleGAN2:
                 self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
                 self._s2d_tail = True
-            elif not upsample and self._s2d_tail:
-                assert in_c <= self.s2d_tail_max_c \
-                    and out_c <= self.s2d_tail_max_c, (prefix, in_c, out_c)
+            elif (not upsample and self._s2d_tail
+                    and in_c <= self.s2d_tail_max_c
+                    and out_c <= self.s2d_tail_max_c):
                 self._fast_overrides[f"{prefix}.mconv.adain"] = \
                     _apply_style_s2d
                 self._fast_overrides[f"{prefix}.mconv.dconv"] = \
                     _make_dconv_s2d(in_c, out_c)
                 self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
-            elif upsample and self._s2d_tail:  # pragma: no cover
-                raise AssertionError("s2d tail interrupted by a wide layer")
+            elif self._s2d_tail:
+                # A non-qualifying (wide or otherwise unusual) layer after
+                # the tail engaged: degrade gracefully — end the tail with
+                # a d2s bridge at this layer's adain and fall back to the
+                # seq stages, so construction always succeeds and
+                # pipeline_fast stays e2e-exact for any valid config.
+                self._fast_overrides[f"{prefix}.mconv.adain"] = \
+                    _apply_style_from_s2d
+                self._s2d_tail = False
             return sub
 
         def to_rgb(name, in_c, lat_idx, skip):

@@ -219,7 +219,7 @@ def blur2d_pallas_bs(x, kernel, pad: Tuple[int, int] = (1, 1),
                if ho % t == 0 and t % hb == 0), None)
     if th is None:
         th = ho
-        hb = next(b for b in range(kh - 1, ho + 1) if ho % b == 0)
+        hb = next(b for b in range(max(kh - 1, 1), ho + 1) if ho % b == 0)
     cb = c if c <= 128 else 128
     while c % cb:
         cb //= 2

@@ -4,7 +4,13 @@ TPU MXU defaults to bf16 multiplies; the rewriting pipeline's contract is
 fp32-tolerance parity with the reference (BASELINE.md north star), so all
 convs/matmuls on the parity path read the policy below at trace time.
 
-- "highest": full fp32 (default — parity mode)
+- "highest": full fp32 (default — parity mode).  Every multiply and
+  accumulate runs in fp32; this is fp32-FAITHFUL, not bit-stable: ops may
+  pick the fastest fp32 formulation for the backend (e.g. the separable
+  matmul form of narrow-channel FIR upsampling, ops/upfirdn2d.py), which
+  reassociates sums and can move low-order bits vs another formulation.
+  Parity tests therefore assert fp32-level tolerances, never bitwise
+  equality across formulations.
 - "default": bf16 MXU passes (throughput mode; use for benchmarking /
   preview sampling where bit-parity doesn't matter)
 

@@ -229,7 +229,10 @@ def upsample2d(x, kernel, factor: int = 2):
         # 75 ms of a 119 ms StyleGAN2-1024 forward in ONE 3-channel
         # 512->1024 upsample).  The separable banded-matmul formulation
         # runs it as two full-shape MXU matmuls instead (~1 ms there);
-        # exact by construction (docs/PERF_NOTES.md).
+        # exact by construction (docs/PERF_NOTES.md).  Note: at "highest"
+        # this reassociates the FIR sum through two fp32 matmuls — fp32-
+        # faithful but not bit-identical to the depthwise formulation
+        # (the documented "highest" contract, ops/precision.py).
         sep = _separable_taps_2d(kernel)
         if sep is not None:
             return upfirdn2d_matmul(x, sep[0], sep[1], up=factor, down=1,

@@ -521,6 +521,93 @@ def make_segzoo_golden():
     print("segzoo goldens:",
           [k for k in data if k.endswith("feat_4") or k.endswith(".out")])
 
+# ---------------------------------------------------------------------------
+# real-weights forward fixtures: run the reference torch code on the real
+# published checkpoints (when present under $REWRITING_TPU_WEIGHTS) and
+# save the outputs, so tests/test_real_weights.py can assert output
+# fidelity WITHOUT importing the reference mount at test time.
+# ---------------------------------------------------------------------------
+
+def _standard_z(n, depth, seed=0):
+    # mirror of rewriting_tpu.utils.zdataset.standard_z_sample (the
+    # numpy-RandomState prefix-stable contract, reference zdataset.py:37-51)
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(n * depth).reshape(n, depth).astype(
+        np.float32)
+
+
+def make_real_weight_goldens():
+    import os
+    wd = os.environ.get("REWRITING_TPU_WEIGHTS", "")
+    if not wd or not os.path.isdir(wd):
+        print("real-weight goldens skipped: $REWRITING_TPU_WEIGHTS unset")
+        return
+    gdir = pathlib.Path(wd) / "goldens"
+    gdir.mkdir(exist_ok=True)
+
+    sg_ckpt = os.path.join(wd, "stylegan2_church.pt")
+    if os.path.isfile(sg_ckpt):
+        op_stub = types.ModuleType("refsg2w.op")
+        op_stub.upfirdn2d = upfirdn2d
+        op_stub.fused_leaky_relu = fused_leaky_relu
+        op_stub.FusedLeakyReLU = FusedLeakyReLU
+        pkg = types.ModuleType("refsg2w")
+        pkg.__path__ = [str(REF / "utils" / "stylegan2")]
+        pkg.op = op_stub
+        sys.modules["refsg2w"] = pkg
+        sys.modules["refsg2w.op"] = op_stub
+        spec = importlib.util.spec_from_file_location(
+            "refsg2w.models", REF / "utils" / "stylegan2" / "models.py")
+        models = importlib.util.module_from_spec(spec)
+        sys.modules["refsg2w.models"] = models
+        spec.loader.exec_module(models)
+
+        def noise_forward(self, data):
+            image = data.fmap
+            batch, _, height, width = image.shape
+            noise = np.random.RandomState(0).randn(
+                batch, height * width).astype("float32")
+            noise = torch.from_numpy(noise).view(batch, 1, height, width)
+            return models.DataBag(data, fmap=image + self.weight * noise)
+        models.NoiseInjectionF.forward = noise_forward
+
+        sd = torch.load(sg_ckpt, map_location="cpu", weights_only=False)
+        latent_avg = sd.get("latent_avg")
+        ref = models.SeqStyleGAN2(size=256, style_dim=512, n_mlp=8,
+                                  truncation=0.5, mconv="seq")
+        ref.load_state_dict(sd["g_ema"], latent_avg=latent_avg)
+        if latent_avg is not None:
+            ref.latents.latent_avg = torch.as_tensor(latent_avg)
+        ref.eval()
+        z = _standard_z(1, 512)
+        with torch.no_grad():
+            out = ref(torch.from_numpy(z)).numpy()
+        np.savez(gdir / "stylegan2_church_forward.npz", z=z, out=out)
+        print("stylegan2_church_forward:", out.shape)
+    else:
+        print("stylegan2_church.pt absent; fixture skipped")
+
+    pg_ckpt = os.path.join(wd, "proggan_churchoutdoor-7e701dd5.pth")
+    if os.path.isfile(pg_ckpt):
+        spec = importlib.util.spec_from_file_location(
+            "ref_proggan_w", REF / "utils" / "proggan.py")
+        refpg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(refpg)
+        sd = torch.load(pg_ckpt, map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        ref = refpg.from_state_dict(sd)
+        ref.eval()
+        zdim = sd["layer1.conv.weight"].shape[1]  # (O, z_dim, 4, 4)
+        z = _standard_z(1, int(zdim))
+        with torch.no_grad():
+            out = ref(torch.from_numpy(z).view(1, -1, 1, 1)).numpy()
+        np.savez(gdir / "proggan_church_forward.npz", z=z, out=out)
+        print("proggan_church_forward:", out.shape)
+    else:
+        print(f"{pg_ckpt} absent; fixture skipped")
+
+
 if __name__ == "__main__":
     make_dilated_resnet_golden()
     make_segzoo_golden()
@@ -530,3 +617,4 @@ if __name__ == "__main__":
     make_stylegan_golden()
     make_bisenet_golden()
     make_upernet_golden()
+    make_real_weight_goldens()

@@ -72,7 +72,7 @@ def test_z_prefix_stability():
 
 def test_proggan_fast_s2d_tail_matches_seq():
     """pipeline_fast (nearest-up folded into the conv + s2d layout for the
-    <=32-channel >=256-res tail) must be e2e-exact vs the seq pipeline,
+    <=32-channel >=512-res tail) must be e2e-exact vs the seq pipeline,
     including the chained two-up-block case."""
     from rewriting_tpu.models import ProgressiveGenerator
 

@@ -88,66 +88,27 @@ def test_proggan_zoo_loads_and_renders(domain):
 # output fidelity vs the reference torch code on the same checkpoint
 # ---------------------------------------------------------------------------
 
-def _ref_stylegan_module():
-    """Import the reference SeqStyleGAN2 with CPU op fallbacks (reuses the
-    shims in scripts/make_goldens.py)."""
-    import importlib.util
-    import sys
-    spec = importlib.util.spec_from_file_location(
-        "make_goldens",
-        os.path.join(os.path.dirname(__file__), "..", "scripts",
-                     "make_goldens.py"))
-    mg = importlib.util.module_from_spec(spec)
-    sys.modules["make_goldens"] = mg
-    spec.loader.exec_module(mg)
-    return mg
+# The torch-side comparison outputs are GENERATED FIXTURES
+# ($REWRITING_TPU_WEIGHTS/goldens/*.npz, produced by
+# scripts/make_goldens.py::make_real_weight_goldens on a machine where
+# both the checkpoints and the reference tree exist), so this suite
+# never imports the reference mount at test time and runs with the
+# mount absent.
+
+def _forward_fixture(name):
+    path = os.path.join(WD, "goldens", name)
+    if not os.path.isfile(path):
+        pytest.skip(f"{name} fixture absent (run scripts/make_goldens.py "
+                    "with $REWRITING_TPU_WEIGHTS set)")
+    return np.load(path)
 
 
 @requires("stylegan2_church.pt")
 def test_stylegan2_church_matches_reference_torch():
-    import torch
-    mg = _ref_stylegan_module()
-    import types
-    import importlib.util
-    import sys
-    op_stub = types.ModuleType("refsg2.op")
-    op_stub.upfirdn2d = mg.upfirdn2d
-    op_stub.fused_leaky_relu = mg.fused_leaky_relu
-    op_stub.FusedLeakyReLU = mg.FusedLeakyReLU
-    pkg = types.ModuleType("refsg2")
-    pkg.__path__ = [str(mg.REF / "utils" / "stylegan2")]
-    pkg.op = op_stub
-    sys.modules["refsg2"] = pkg
-    sys.modules["refsg2.op"] = op_stub
-    spec = importlib.util.spec_from_file_location(
-        "refsg2.models", mg.REF / "utils" / "stylegan2" / "models.py")
-    models = importlib.util.module_from_spec(spec)
-    sys.modules["refsg2.models"] = models
-    spec.loader.exec_module(models)
-
-    def noise_forward(self, data):
-        image = data.fmap
-        batch, _, height, width = image.shape
-        noise = np.random.RandomState(0).randn(
-            batch, height * width).astype("float32")
-        noise = torch.from_numpy(noise).view(batch, 1, height, width)
-        return models.DataBag(data, fmap=image + self.weight * noise)
-    models.NoiseInjectionF.forward = noise_forward
-
-    sd = torch.load(os.path.join(WD, "stylegan2_church.pt"),
-                    map_location="cpu", weights_only=False)
-    latent_avg = sd.get("latent_avg")
-    ref = models.SeqStyleGAN2(size=256, style_dim=512, n_mlp=8,
-                              truncation=0.5, mconv="seq")
-    ref.load_state_dict(sd["g_ema"], latent_avg=latent_avg)
-    if latent_avg is not None:
-        ref.latents.latent_avg = torch.as_tensor(latent_avg)
-    ref.eval()
-
+    fx = _forward_fixture("stylegan2_church_forward.npz")
+    z, want = fx["z"], fx["out"]
     model, params = load_seq_stylegan("church", truncation=0.5)
-    z = np.asarray(_z(model))
-    with torch.no_grad():
-        want = ref(torch.from_numpy(z)).numpy()
+    np.testing.assert_array_equal(z, np.asarray(_z(model)))  # same contract
     from rewriting_tpu.ops.precision import set_precision
     set_precision("highest")
     got = np.transpose(np.asarray(model(params, jnp.asarray(z))),
@@ -158,22 +119,10 @@ def test_stylegan2_church_matches_reference_torch():
 
 @requires(PROGGAN_ZOO["church"])
 def test_proggan_church_matches_reference_torch():
-    import importlib.util
-    import torch
-    spec = importlib.util.spec_from_file_location(
-        "ref_proggan", "/root/reference/utils/proggan.py")
-    refpg = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(refpg)
-    sd = torch.load(os.path.join(WD, PROGGAN_ZOO["church"]),
-                    map_location="cpu", weights_only=False)
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
-    ref = refpg.from_state_dict(sd)
-    ref.eval()
+    fx = _forward_fixture("proggan_church_forward.npz")
+    z, want = fx["z"], fx["out"]
     model, params = load_proggan("church")
-    z = np.asarray(_z(model))
-    with torch.no_grad():
-        want = ref(torch.from_numpy(z).view(1, -1, 1, 1)).numpy()
+    np.testing.assert_array_equal(z, np.asarray(_z(model)))
     from rewriting_tpu.ops.precision import set_precision
     set_precision("highest")
     got = np.transpose(np.asarray(model(params, jnp.asarray(z))),

@@ -156,3 +156,52 @@ def test_topk_and_quantile_cache(tmp_path):
                                np.asarray(topk1.result()[0]))
     np.testing.assert_allclose(np.asarray(rq2.quantiles([0.5])),
                                np.asarray(rq1.quantiles([0.5])))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 advisor findings
+# ---------------------------------------------------------------------------
+
+def test_s2d_tail_interrupted_by_wide_layer_degrades_gracefully():
+    """A wide (non-qualifying) layer after the fast s2d tail has engaged
+    must not fail construction: the tail ends with a d2s bridge and the
+    remaining layers run their seq stages, keeping pipeline_fast exact
+    (round-2 advisor finding, stylegan2.py)."""
+    from conftest import tiny_channel_stylegan
+
+    m = tiny_channel_stylegan(1024, s2d_tail_max_c=8,
+                              ch={4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
+                                  128: 16, 256: 16, 512: 8, 1024: 24})
+    # tail engaged at 512 (8ch), bridged off before the wide 1024 layer
+    assert "layer15.sconv.mconv.dconv" in m._fast_overrides
+    assert "layer17.sconv.mconv.dconv" not in m._fast_overrides
+    assert "layer17.sconv.mconv.adain" in m._fast_overrides  # d2s bridge
+    assert not m._s2d_tail
+    p = m.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    o_seq = np.asarray(m(p, z, fast=False))
+    o_fast = np.asarray(m(p, z, fast=True))
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert rel < 1e-4, rel
+
+
+def test_proggan_s2d_tail_interrupted_degrades_gracefully():
+    """Same graceful degradation for the ProgGAN fast tail (round-2
+    advisor finding, proggan.py add_block)."""
+    from rewriting_tpu.models import ProgressiveGenerator
+
+    # 1024-res model whose last up block widens to 48 channels: the tail
+    # engages at 512 (16ch) and must bridge off at the wide block.
+    m = ProgressiveGenerator(
+        sizes=[32, 16, 16, 16, 16, 16, 16, 16, 16, 48])
+    assert m.resolution == 1024 and m._fast_overrides
+    assert not m._s2d_tail
+    bridges = [k for k, v in m._fast_overrides.items()
+               if k.endswith(".norm") and "17" in k]
+    assert bridges, sorted(m._fast_overrides)
+    p = m.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    o_seq = np.asarray(m(p, z, fast=False))
+    o_fast = np.asarray(m(p, z, fast=True))
+    rel = np.max(np.abs(o_fast - o_seq)) / max(np.max(np.abs(o_seq)), 1e-6)
+    assert rel < 1e-4, rel

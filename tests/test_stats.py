@@ -160,9 +160,10 @@ def test_quantile_adversarial():
     want = qs[None, :] * (n - 1) * scales[:, None]
     # rank error: |est - true| as a fraction of the full range.  The
     # reference self-test demands ~1/1000-ile accuracy at this resolution
-    # (runningstats.py:1278-1282); we assert 0.2%.
+    # (runningstats.py:1278-1282); we assert the same 0.1% bound
+    # (measured ~0.0003 across seeds at 50k-1M samples).
     rank_err = np.abs(est - want) / ((n - 1) * scales[:, None])
-    assert rank_err.max() < 0.002, rank_err.max()
+    assert rank_err.max() < 0.001, rank_err.max()
 
     # normalize is the inverse map
     probe = np.array([0.25, 0.5, 0.75], np.float32)[None, :] * (
