@@ -5,7 +5,13 @@ the same core concepts — ``Model`` objects holding ``Property`` values and
 ``Trigger`` events that synchronize bidirectionally with a browser view —
 with a compact JS runtime.  Works headless too: all state changes and
 events can be driven purely from Python (that is how the app logic is
-tested), and in Jupyter/Colab the HTML repr wires a comm channel.
+tested), and in a live kernel the HTML repr wires a comm channel.  The
+view-side runtime probes three transports (mirroring the reference's
+WIDGET_ENV dispatch, utils/labwidget.py:1010-1076): the Colab comm API
+(``google.colab.kernel.comms``), the classic-notebook ``Jupyter`` global,
+and the JupyterLab/Notebook-7 application object (requires
+``jupyter lab --expose-app-in-browser``); all three speak to the same
+kernel-side 'labwidget' comm target served by ipykernel.
 
 Key semantics mirrored from the reference:
 - setting ``widget.prop = value`` notifies Python listeners and the view;
@@ -209,16 +215,54 @@ class Model:
 _COMM_JS = r"""
 (function() {
   var model = {id: "%(id)s", props: %(props)s, comm: null, handlers: {}};
+  function recv(d) {
+    model.props[d.name] = d.value;
+    (model.handlers[d.name] || []).forEach(function(h) { h(d.value); });
+  }
   function connect() {
+    // Environment dispatch (the reference selects a transport by
+    // WIDGET_ENV, utils/labwidget.py:1010-1076; here one runtime probes
+    // at view time).  All three transports speak to the SAME kernel-side
+    // 'labwidget' comm target — ipykernel serves Colab and JupyterLab
+    // alike, so only the view-side wiring differs.
+    // 1. Colab: promise-based comm API.
+    if (typeof google !== 'undefined' && google.colab &&
+        google.colab.kernel && google.colab.kernel.comms) {
+      google.colab.kernel.comms.open('labwidget', {id: model.id}).then(
+        function(comm) {
+          model.comm = {send: function(d) { comm.send(d); }};
+          (function pump(it) {
+            it.next().then(function(r) {
+              if (r.done) { return; }
+              recv(r.value.data);
+              pump(it);
+            });
+          })(comm.messages[Symbol.asyncIterator]());
+        });
+      return;
+    }
+    // 2. Classic Jupyter notebook: global Jupyter kernel object.
     if (typeof Jupyter !== 'undefined' && Jupyter.notebook &&
         Jupyter.notebook.kernel) {
       model.comm = Jupyter.notebook.kernel.comm_manager.new_comm(
           'labwidget', {id: model.id});
-      model.comm.on_msg(function(msg) {
-        var d = msg.content.data;
-        model.props[d.name] = d.value;
-        (model.handlers[d.name] || []).forEach(function(h) { h(d.value); });
-      });
+      model.comm.on_msg(function(msg) { recv(msg.content.data); });
+      return;
+    }
+    // 3. JupyterLab / Notebook 7: no kernel global in output areas; use
+    //    the application object when exposed (jupyter lab
+    //    --expose-app-in-browser sets window.jupyterapp) to open a comm
+    //    on the current session's kernel connection.
+    var app = window.jupyterapp || window.jupyterlab;
+    var ctx = app && app.shell && app.shell.currentWidget &&
+        app.shell.currentWidget.sessionContext;
+    var kernel = ctx && ctx.session && ctx.session.kernel;
+    if (kernel && kernel.createComm) {
+      var c = kernel.createComm('labwidget');
+      c.open({id: model.id});
+      c.onMsg = function(msg) { recv(msg.content.data); };
+      model.comm = {send: function(d) { c.send(d); }};
+      return;
     }
   }
   model.set = function(name, value) {

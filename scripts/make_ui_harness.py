@@ -1,17 +1,27 @@
-"""Generate a self-contained browser test page for the labwidget JS runtime.
+"""Generate self-contained browser test pages for the labwidget JS runtime.
 
-The page mocks the Jupyter kernel comm (``Jupyter.notebook.kernel.
-comm_manager``) so the emitted widget JS connects for real, then drives DOM
-events and asserts both directions of the protocol:
+One page per comm transport (the runtime's connect() probes these in
+order, mirroring the reference's WIDGET_ENV dispatch,
+/root/reference/utils/labwidget.py:1010-1076):
+
+- classic: mocks the classic-notebook global ``Jupyter.notebook.kernel.
+  comm_manager``;
+- colab:   mocks ``google.colab.kernel.comms`` (promise-based open, async
+  message iterator);
+- jlab:    mocks ``window.jupyterapp`` -> current session kernel
+  ``createComm`` (the --expose-app-in-browser JupyterLab route).
+
+Each page loads the real emitted widget JS, drives DOM events, and asserts
+both directions of the protocol:
 
 - view -> python: DOM events must send {name, value} comm messages;
-- python -> view: injected comm messages must update the DOM.
+- python -> view: injected kernel messages must update the DOM.
 
 Results land in #results as PASS/FAIL lines and in document.title
 ("UI-OK" / "UI-FAIL") so any browser driver can assert completion.
 
-Usage: python scripts/make_ui_harness.py [outpath]  (default
-build/ui_harness.html); open the file in a browser.
+Usage: python scripts/make_ui_harness.py [outdir]  (default build/);
+writes ui_harness.html, ui_harness_colab.html, ui_harness_jlab.html.
 """
 
 import os
@@ -23,10 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from rewriting_tpu.ui import (Button, Checkbox, ClickDiv, Datalist, Div,
                               Label, Menu, Range, Textarea, Textbox)
 
-MOCK_COMM = r"""
+MOCK_CLASSIC = r"""
 <script>
-// Mock of the Jupyter notebook comm layer: records view->kernel messages
-// and lets the test inject kernel->view messages.
+// Mock of the classic Jupyter notebook comm layer: records view->kernel
+// messages and lets the test inject kernel->view messages.
 window.sentMessages = [];   // [{id, name, value}]
 window.commsById = {};
 window.Jupyter = {
@@ -57,6 +67,87 @@ window.kernelSend = function(id, name, value) {  // kernel -> view
 </script>
 """
 
+MOCK_COLAB = r"""
+<script>
+// Mock of google.colab.kernel.comms: open() resolves a comm whose
+// .messages is a real async iterable (queue + pending-promise), matching
+// the promise-based Colab comm API the runtime's colab branch uses.
+window.sentMessages = [];
+window.commsById = {};
+window.google = { colab: { kernel: { comms: {
+  open: function(target, data) {
+    var queue = [], pending = null;
+    var comm = {
+      _id: data.id,
+      send: function(msg) {
+        window.sentMessages.push({id: this._id, name: msg.name,
+                                  value: msg.value});
+      },
+      messages: {},
+      _push: function(d) {
+        if (pending) {
+          var p = pending; pending = null;
+          p({value: {data: d}, done: false});
+        } else { queue.push(d); }
+      },
+    };
+    comm.messages[Symbol.asyncIterator] = function() {
+      return { next: function() {
+        if (queue.length) {
+          return Promise.resolve({value: {data: queue.shift()},
+                                  done: false});
+        }
+        return new Promise(function(res) { pending = res; });
+      }};
+    };
+    window.commsById[data.id] = comm;
+    return Promise.resolve(comm);
+  }
+}}}};
+window.kernelSend = function(id, name, value) {  // async delivery
+  window.commsById[id]._push({name: name, value: value});
+};
+</script>
+"""
+
+MOCK_JLAB = r"""
+<script>
+// Mock of the JupyterLab route: window.jupyterapp (exposed by
+// --expose-app-in-browser) -> current widget's session kernel, whose
+// createComm returns an IComm with open/send/onMsg.
+window.sentMessages = [];
+window.commsById = {};
+window.jupyterapp = { shell: { currentWidget: { sessionContext: {
+  session: { kernel: {
+    createComm: function(target) {
+      var comm = {
+        _id: null,
+        onMsg: null,
+        open: function(data) {
+          this._id = data.id;
+          window.commsById[data.id] = this;
+        },
+        send: function(msg) {
+          window.sentMessages.push({id: this._id, name: msg.name,
+                                    value: msg.value});
+        },
+      };
+      return comm;
+    }
+}}}}}};
+window.kernelSend = function(id, name, value) {
+  var comm = window.commsById[id];
+  comm.onMsg({content: {data: {name: name, value: value}}});
+};
+</script>
+"""
+
+MOCKS = {"classic": MOCK_CLASSIC, "colab": MOCK_COLAB, "jlab": MOCK_JLAB}
+
+# The test body is transport-agnostic: every mock provides
+# window.sentMessages + window.kernelSend.  Kernel->view delivery is
+# asynchronous on the colab transport (async iterator), so each
+# kernelSend is followed by a macrotask tick before asserting the DOM.
 TEST_JS = r"""
 <script>
 var results = [];
@@ -67,7 +158,10 @@ function sent(id, name) {
   return window.sentMessages.filter(function(m) {
     return m.id === id && m.name === name; });
 }
-window.addEventListener('load', function() { try {
+function tick() {
+  return new Promise(function(r) { setTimeout(r, 0); });
+}
+window.addEventListener('load', async function() { try {
   // --- Button: click -> comm message
   var btn = document.getElementById(IDS.button);
   btn.click();
@@ -75,6 +169,7 @@ window.addEventListener('load', function() { try {
 
   // --- Label: kernel -> view text update
   kernelSend(IDS.label, "value", "updated-label");
+  await tick();
   check("label updates from kernel",
         document.getElementById(IDS.label).textContent === "updated-label");
 
@@ -86,6 +181,7 @@ window.addEventListener('load', function() { try {
   check("textbox change sends value",
         m.length === 1 && m[0].value === "typed");
   kernelSend(IDS.textbox, "value", "pushed");
+  await tick();
   check("textbox updates from kernel", tb.value === "pushed");
 
   // --- Textarea: blur -> comm
@@ -113,6 +209,7 @@ window.addEventListener('load', function() { try {
   // --- Menu: choices update from kernel re-renders options; change sends
   var menu = document.getElementById(IDS.menu);
   kernelSend(IDS.menu, "choices", ["x", "y", "z"]);
+  await tick();
   check("menu re-renders choices",
         menu.querySelectorAll("option").length === 3);
   var msel = menu.querySelector("select");
@@ -125,6 +222,7 @@ window.addEventListener('load', function() { try {
   // --- Datalist: choices re-render; change sends value
   var dlform = document.getElementById(IDS.datalist);
   kernelSend(IDS.datalist, "choices", ["aa", "bb"]);
+  await tick();
   check("datalist re-renders choices",
         dlform.querySelectorAll("option").length === 2);
   var inp = dlform.querySelector("input");
@@ -136,12 +234,14 @@ window.addEventListener('load', function() { try {
 
   // --- Div innerHTML from kernel
   kernelSend(IDS.div, "innerHTML", "<b>bold</b>");
+  await tick();
   check("div innerHTML updates",
         document.getElementById(IDS.div).innerHTML === "<b>bold</b>");
 
   // --- ClickDiv: data-click payload
   kernelSend(IDS.clickdiv, "innerHTML",
              '<span data-click="unit7">seven</span>');
+  await tick();
   document.getElementById(IDS.clickdiv).querySelector("span").click();
   m = sent(IDS.clickdiv, "click");
   check("clickdiv sends data-click payload",
@@ -149,6 +249,7 @@ window.addEventListener('load', function() { try {
 
   // --- write trigger renders above the widget
   kernelSend(IDS.button, "write", "<pre>captured output</pre>");
+  await tick();
   var prev = document.getElementById(IDS.button).previousSibling;
   check("write renders above widget",
         prev && prev.innerHTML === "<pre>captured output</pre>");
@@ -164,7 +265,7 @@ window.addEventListener('load', function() { try {
 """
 
 
-def build_page() -> str:
+def build_page(transport: str = "classic") -> str:
     widgets = {
         "button": Button("press me"),
         "label": Label("label0"),
@@ -181,18 +282,22 @@ def build_page() -> str:
     body = "\n".join(w._repr_html_() for w in widgets.values())
     ids_js = "<script>var IDS = " + repr(ids).replace("'", '"') + ";</script>"
     return ("<!DOCTYPE html><html><head><meta charset='utf-8'>"
-            "<title>labwidget harness</title></head><body>"
-            + MOCK_COMM + ids_js + body
+            f"<title>labwidget harness ({transport})</title></head><body>"
+            + MOCKS[transport] + ids_js + body
             + '<pre id="results">running...</pre>'
             + TEST_JS + "</body></html>")
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "build/ui_harness.html"
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    with open(out, "w") as f:
-        f.write(build_page())
-    print(out)
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "build"
+    os.makedirs(outdir, exist_ok=True)
+    for transport, fname in (("classic", "ui_harness.html"),
+                             ("colab", "ui_harness_colab.html"),
+                             ("jlab", "ui_harness_jlab.html")):
+        path = os.path.join(outdir, fname)
+        with open(path, "w") as f:
+            f.write(build_page(transport))
+        print(path)
 
 
 if __name__ == "__main__":

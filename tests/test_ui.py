@@ -273,8 +273,14 @@ def test_js_runtime_harness_wellformed():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
     import make_ui_harness
-    page = make_ui_harness.build_page()
-    assert 'id="results"' in page and "UI-OK" in page
+    markers = {"classic": "Jupyter.notebook.kernel.comm_manager",
+               "colab": "google.colab.kernel.comms",
+               "jlab": "jupyterapp"}
+    for transport, marker in markers.items():
+        page = make_ui_harness.build_page(transport)
+        assert 'id="results"' in page and "UI-OK" in page, transport
+        assert marker in page, transport
+        assert "window.kernelSend" in page, transport
 
     def lint_js(js, ctx):
         stack = []
