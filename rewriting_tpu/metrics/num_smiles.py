@@ -3,9 +3,12 @@
 non-vendored pytorch_slim_cnn SlimNet).
 
 The classifier is pluggable: pass any fn(images_zc_nhwc) -> (B,) bool/int.
-Without one, falls back to the face parser's mouth-visibility heuristic
-(teeth/inner-mouth class present), which correlates with open-mouth
-smiles; for the paper metric supply a real attribute classifier."""
+Without one: if a SlimNet CelebA checkpoint (celeba_20.pth) is present
+under $REWRITING_TPU_WEIGHTS, the real attribute classifier is used
+(metrics/slimnet.py — 'Smiling' sigmoid > 0.5, the reference's exact
+criterion); otherwise falls back to the face parser's mouth-visibility
+heuristic (teeth/inner-mouth class present), which correlates with
+open-mouth smiles."""
 
 from __future__ import annotations
 
@@ -22,7 +25,7 @@ def count_smiles(image_dir: str, n: int = 10000, batch_size: int = 16,
     import PIL.Image
     from ..utils import renormalize
     if classifier is None:
-        classifier = mouth_heuristic_classifier()
+        classifier = default_classifier()
     total = 0
     batch = []
     from ..native import read_image_rgb
@@ -34,6 +37,17 @@ def count_smiles(image_dir: str, n: int = 10000, batch_size: int = 16,
             total += int(np.sum(classifier(np.stack(batch))))
             batch = []
     return total
+
+
+def default_classifier():
+    """The real SlimNet classifier when its checkpoint is available,
+    else the mouth-visibility heuristic."""
+    from ..models.zoo import weights_dir
+    path = os.path.join(weights_dir(), "celeba_20.pth")
+    if os.path.isfile(path):
+        from .slimnet import slimnet_classifier
+        return slimnet_classifier(path)
+    return mouth_heuristic_classifier()
 
 
 def mouth_heuristic_classifier(params=None):

@@ -26,6 +26,8 @@ FID_INCEPTION_URL = ("https://github.com/mseitzer/pytorch-fid/releases/"
                      "download/fid_weights/pt_inception-2015-12-05-"
                      "6726825d.pth")
 VGG16_URL = "https://download.pytorch.org/models/vgg16-397923af.pth"
+SLIMNET_URL = ("https://github.com/gtamba/pytorch-slim-cnn/raw/master/"
+               "models/celeba_20.pth")
 MASKS_URL = "http://rewriting.csail.mit.edu/data/masks/"
 MASK_FILES = ["dome2spire.json", "dome2tree.json", "dome2castle.json",
               "smile.json"]
@@ -44,10 +46,10 @@ def fetch(url, dest):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--only", nargs="*", default=None,
-                    help="subset: stylegan2 proggan upp face fid vgg masks")
+                    help="subset: stylegan2 proggan upp face fid vgg slimnet masks")
     args = ap.parse_args()
     want = set(args.only or ["stylegan2", "proggan", "upp", "face", "fid",
-                             "vgg", "masks"])
+                             "vgg", "slimnet", "masks"])
     wd = weights_dir()
     if "stylegan2" in want:
         for name, (filename, _) in STYLEGAN2_ZOO.items():
@@ -65,6 +67,8 @@ def main():
               os.path.join(wd, "pt_inception-2015-12-05.pth"))
     if "vgg" in want:
         fetch(VGG16_URL, os.path.join(wd, "vgg16_features.pth"))
+    if "slimnet" in want:
+        fetch(SLIMNET_URL, os.path.join(wd, "celeba_20.pth"))
     if "masks" in want:
         masks = os.environ.get("REWRITING_TPU_MASKS", "masks")
         for fn in MASK_FILES:

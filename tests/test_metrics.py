@@ -251,3 +251,35 @@ def test_patch_fid_sweep_tiny(goldens):
     # discriminative signal is the orders-of-magnitude gap
     assert abs(same[4]) < 1e-7, same
     assert diff[4] > 1e-6 and diff[4] > 100 * abs(same[4]), (same, diff)
+
+
+def test_slimnet_converter_and_forward():
+    """SlimNet attribute classifier (metrics/slimnet.py): the validating
+    converter consumes a checkpoint in the documented layout completely,
+    the jitted forward produces 40 finite logits at the reference's input
+    geometry (178x218), resizing engages for other sizes, and the
+    'Smiling' threshold matches sigmoid(logit) > 0.5."""
+    import jax
+    from rewriting_tpu.metrics import slimnet
+
+    sd = slimnet.init_random_state_dict(0)
+    clf = slimnet.SlimNetClassifier(state_dict=dict(sd))
+    rng = np.random.RandomState(1)
+    imgs = rng.uniform(-1, 1, (2, 178, 218, 3)).astype(np.float32)
+    logits = np.asarray(clf.logits(imgs))
+    assert logits.shape == (2, 40) and np.isfinite(logits).all()
+    # resize path: different input size, same pipeline
+    small = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    assert np.asarray(clf.logits(small)).shape == (2, 40)
+    want = 1.0 / (1.0 + np.exp(-logits[:, slimnet.SMILING])) > 0.5
+    np.testing.assert_array_equal(clf(imgs), want)
+    # converter validation: a missing tensor raises with diagnostics
+    bad = dict(sd)
+    bad.pop("slim_module_2.dws.pointwise.weight")
+    with pytest.raises(KeyError, match="layout mismatch"):
+        slimnet.params_from_state_dict(bad)
+    # ... and an extra tensor is flagged, not silently dropped
+    extra = dict(sd)
+    extra["mystery.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        slimnet.params_from_state_dict(extra)

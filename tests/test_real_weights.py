@@ -223,3 +223,28 @@ def test_published_mask_drives_edit():
     gw.apply_edit(request, rank=1, niter=101, piter=10, lr=0.05)
     after = np.asarray(gw.render_image(imgnum), np.float32)
     assert np.abs(after - before).max() > 8.0  # visible change
+
+
+# ---------------------------------------------------------------------------
+# SlimNet attribute classifier with the real celeba_20.pth
+# ---------------------------------------------------------------------------
+
+@requires("celeba_20.pth")
+def test_slimnet_real_checkpoint_loads_and_classifies():
+    """The real pytorch_slim_cnn CelebA checkpoint loads through the
+    validating converter (any layout mismatch raises with a shape table —
+    see metrics/slimnet.py) and classifies a rendered face batch with
+    finite, non-degenerate attribute probabilities."""
+    from rewriting_tpu.metrics.slimnet import slimnet_classifier
+    clf = slimnet_classifier(os.path.join(WD, "celeba_20.pth"))
+    if _have("stylegan2_faces.pt"):
+        model, params = load_seq_stylegan("faces", truncation=0.5)
+        imgs = np.asarray(model(params, _z(model, n=4)))
+    else:
+        rng = np.random.RandomState(0)
+        imgs = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    logits = np.asarray(clf.logits(np.clip(imgs, -1, 1)))
+    assert logits.shape == (4, 40) and np.isfinite(logits).all()
+    assert logits.std() > 1e-4  # not a collapsed/garbage load
+    flags = clf(np.clip(imgs, -1, 1))
+    assert flags.shape == (4,) and flags.dtype == bool

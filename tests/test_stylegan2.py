@@ -151,3 +151,24 @@ def test_fast_s2d_tail_chained_up_layers():
     o_fast = np.asarray(m(p, z, fast=True))
     rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
     assert rel < 1e-4, rel
+
+
+def test_bf16_acts_quality_gate(goldens):
+    """The 'bf16_acts' throughput mode's output deviation is MEASURED,
+    not asserted: on CPU (which computes bfloat16 arithmetic for real)
+    the tiny golden model must stay above a loose PSNR floor vs the fp32
+    forward (measured ~43 dB; bound 30 dB).  The real-chip quality table
+    (PSNR + random-feature Frechet delta for every throughput mode at
+    256 scale) is recorded by bench.py as precision_quality_vs_highest."""
+    import jax.numpy as jnp
+    from rewriting_tpu.ops.precision import cast_pytree
+    g, model, params = _golden_model(goldens)
+    z = jnp.asarray(g["z"])
+    noise = model.prepare_noise(z.shape[0])
+    ref = np.asarray(model(params, z, noise), np.float32)
+    out = np.asarray(model(cast_pytree(params, jnp.bfloat16),
+                           z.astype(jnp.bfloat16),
+                           cast_pytree(noise, jnp.bfloat16)), np.float32)
+    mse = float(np.mean((out - ref) ** 2))
+    psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 30.0, psnr
