@@ -16,7 +16,14 @@ NB_DIR = os.path.join(os.path.dirname(__file__), "..", "notebooks")
                                   "reflection-rule-change",
                                   "stats/segmentation-stats",
                                   "stats/face-label-stats",
-                                  "stats/attribute-comparison"])
+                                  "stats/attribute-comparison",
+                                  "stats/segmentation-stats-dome2tree",
+                                  "stats/segmentation-stats-comparison",
+                                  "stats/folder-segmentation",
+                                  "stats/folder-segmentation-resumable",
+                                  "stats/folder-segmentation-sharded",
+                                  "stats/ffhq-label-stats",
+                                  "stats/dome-area-profile"])
 def test_notebook_executes(name, tmp_path):
     nb = nbformat.read(os.path.join(NB_DIR, f"{name}.ipynb"),
                        as_version=4)

@@ -84,3 +84,46 @@ def test_blockspec_blur_interpret():
         got = blur2d_pallas_bs(x, kern * 4.0, pad, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_upconv_blur_interpret():
+    """The fused up-conv+blur kernel (ops/pallas_upconv.py) matches the
+    composition of the two seq stages (lhs-dilated convT then depthwise
+    blur) exactly in interpret mode, across shapes, tile configs, and
+    boundary tiles."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rewriting_tpu.ops.pallas_upconv import (upconv_blur_pallas,
+                                                 upconv_blur_reference)
+
+    rng = np.random.RandomState(0)
+    for (h, w, ic, oc), kw in (
+            ((8, 8, 16, 8), {}),
+            ((16, 12, 8, 16), {}),
+            ((4, 4, 4, 4), {}),            # single-tile: both halos masked
+            ((16, 8, 8, 16), {"th": 4}),   # multiple row tiles
+            ((8, 8, 8, 16), {"ob": 8})):   # gridded output channels
+        x = jnp.asarray(rng.randn(2, h, w, ic), jnp.float32)
+        wt = jnp.asarray(rng.randn(3, 3, ic, oc), jnp.float32) * 0.1
+        want = np.asarray(upconv_blur_reference(x, wt))
+        got = np.asarray(upconv_blur_pallas(x, wt, interpret=True, **kw))
+        assert got.shape == (2, 2 * h, 2 * w, oc)
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        assert rel < 1e-5, ((h, w, ic, oc), kw, rel)
+
+
+def test_fused_upconv_blur_bf16x3_dot():
+    """_dot_hp's explicit bf16x3 decomposition (Mosaic has no HIGH
+    precision) is fp32-tolerance-accurate vs a full-fp32 dot."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+    from rewriting_tpu.ops.pallas_upconv import _dot_hp
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(64, 128), jnp.float32)
+    w = jnp.asarray(rng.randn(128, 32), jnp.float32)
+    exact = np.asarray(jnp.dot(x, w, precision=lax.Precision.HIGHEST))
+    approx = np.asarray(_dot_hp(x, w, lax.Precision.HIGH))
+    rel = np.abs(approx - exact).max() / np.abs(exact).max()
+    assert rel < 1e-5, rel
