@@ -221,6 +221,50 @@ def _make_blur(blur_kernel, pad, upsample_factor):
     return fn
 
 
+def _make_fused_upconv_dconv(in_c, out_c, blur_kernel):
+    """pipeline_fast dconv override for wide upsampling layers: when the
+    fused Pallas up-conv+blur kernel is enabled (ops/pallas_upconv.py —
+    the TPU analog of the reference's upfirdn2d CUDA fusion,
+    utils/stylegan2/op/upfirdn2d_kernel.cu), compute dconv AND blur in
+    one pass; otherwise fall through to the seq dconv (the blur stage
+    dispatches on the resulting shape).  Exact math either way."""
+    seq_fn = _make_dconv(in_c, out_c, 3, True, upsample=True)
+    scale = 1.0 / math.sqrt(in_c * 9)
+    k = np.asarray(blur_kernel, np.float64)
+    kf = tuple(float(v) for v in (k / k.sum()) * 2.0)  # 1-D taps w/ gain
+
+    def fn(params, d: DataBag) -> DataBag:
+        from ..ops.pallas_upconv import (fused_upconv_active,
+                                         upconv_blur_pallas)
+        if not fused_upconv_active(in_c, out_c):
+            return seq_fn(params, d)
+        w5 = params["weight"]
+        wf = jnp.flip(w5[0], (-2, -1)) * scale
+        wt = jnp.transpose(wf, (2, 3, 1, 0))            # (3, 3, I, O)
+        out = upconv_blur_pallas(d["fmap"], wt, kf=kf)  # (B, 2H, 2W, O)
+        # demod commutes with the (channel-diagonal) blur
+        style = d["style"]
+        w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
+        demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
+                                  precision=get_precision()) + 1e-8)
+        return DataBag(d, fmap=out * demod[:, None, None, :])
+    return fn
+
+
+def _make_shape_dispatch_blur(blur_kernel, pad, upsample_factor):
+    """pipeline_fast blur override paired with _make_fused_upconv_dconv:
+    the seq up-dconv emits (2H+1, 2W+1) (still needs the blur), the
+    fused kernel emits the final even-sized (2H, 2W) (blur already
+    applied) — dispatch on the trace-time shape parity."""
+    blur_fn = _make_blur(blur_kernel, pad, upsample_factor)
+
+    def fn(params, d: DataBag) -> DataBag:
+        if d["fmap"].shape[1] % 2 == 0:
+            return d  # fused kernel already applied the blur
+        return blur_fn(params, d)
+    return fn
+
+
 def _subpixel3_kernel(wf, out_c, in_c):
     """(O, I, 3, 3) correlation taps -> (4O, I, 2, 2) subpixel phase
     kernels for a stride-2 transposed conv (pad k-1).
@@ -598,6 +642,15 @@ class SeqStyleGAN2:
                 self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
                 self._s2d_tail = True
+            elif upsample and not self._s2d_tail:
+                # wide upsampling layer: fused Pallas up-conv+blur when
+                # enabled (ops/pallas_upconv.set_fused_upconv), else these
+                # overrides reduce to the seq stages at trace time
+                self._fast_overrides[f"{prefix}.mconv.dconv"] = \
+                    _make_fused_upconv_dconv(in_c, out_c, self.blur_kernel)
+                self._fast_overrides[f"{prefix}.mconv.blur"] = \
+                    _make_shape_dispatch_blur(self.blur_kernel,
+                                              (pad0, pad1), factor)
             elif (not upsample and self._s2d_tail
                     and in_c <= self.s2d_tail_max_c
                     and out_c <= self.s2d_tail_max_c):

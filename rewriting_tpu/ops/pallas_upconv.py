@@ -86,19 +86,29 @@ def _upconv_blur_body(main, top, bot, w_ref, out_ref, *, kf, th, w_in,
     x_top = jnp.where(t == 0, zero, 1).astype(in_dtype) * top[0, 0]
     x_bot = jnp.where(t == nt - 1, zero, 1).astype(in_dtype) * bot[0, 0]
     x_t = jnp.concatenate([x_top[None], x_main, x_bot[None]], axis=0)
-    x_t = jnp.pad(x_t, ((0, 0), (1, 1), (0, 0)))       # W zero-halo
     o_c = out_ref.shape[3]
-    R, C2 = th + 2, w_in + 2
+    # All second-minor (column) widths are kept 8-aligned: unaligned
+    # widths put every Mosaic op on its masked-edge path, which blew
+    # compile time up by orders of magnitude at W >= 64.
+    CA = -(-(w_in + 4) // 8) * 8          # >= W+3, 8-aligned
+    x_t = jnp.pad(x_t, ((0, 0), (1, CA - w_in - 1), (0, 0)))  # W halo
 
-    # 1. convT phases: Y[(p, q)][j, k] covers pre-blur position
-    #    (u, v) = (j - 1, k - 1) relative to the tile's output rows.
+    # 1. convT phases, ONE concatenated matmul (3 dots under bf16x3)
+    #    instead of 9 per-tap dots: (R, CA, I) x (I, 9*ob).  The weight
+    #    operand arrives pre-packed (host-side) with this O-block's nine
+    #    per-tap (I, ob) matrices laid out tap-major in the lane dim.
+    big = _dot_hp(x_t, w_ref[:], precision)            # (R, CA, 9*ob)
+    # Y[(p, q)][j, k] covers pre-blur position (u, v) = (j-1, k-1)
     Y = {}
     for dy in range(3):
         py, sy = _TAP_PHASE_SHIFT[dy]
         for dx in range(3):
             px, sx = _TAP_PHASE_SHIFT[dx]
-            tap = _dot_hp(x_t, w_ref[dy, dx], precision)  # (R, C2, ob)
-            pad = jnp.pad(tap, ((sy, 1 - sy), (sx, 1 - sx), (0, 0)))
+            d = dy * 3 + dx
+            tap = big[:, :, d * o_c:(d + 1) * o_c]     # lane-slice, free
+            pad = jnp.pad(tap, ((sy, 1 - sy), (0, 0), (0, 0)))
+            if sx:
+                pad = jnp.roll(pad, 1, axis=1)
             key = (py, px)
             Y[key] = pad if key not in Y else Y[key] + pad
 
@@ -156,11 +166,18 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
     """
     n, h, w, in_c = x.shape
     out_c = wt.shape[3]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # no Mosaic on CPU; tests run the same math
     th = th or _pick(h, 8)
     ob = ob or _pick(out_c, 128)
     nt = h // th
     grid = (n, nt, out_c // ob)
     hmax = h - 1
+    # pack (3, 3, I, O) -> (I, (O/ob) * 9 * ob): O-block-major, then
+    # tap-major lanes, so each grid step's weight block (I, 9*ob) is one
+    # contiguous lane slice and the kernel needs no weight shuffling
+    wp = jnp.transpose(wt.reshape(9, in_c, out_c // ob, ob),
+                       (1, 2, 0, 3)).reshape(in_c, 9 * out_c)
     return pl.pallas_call(
         functools.partial(_upconv_blur_body, kf=tuple(float(v) for v
                                                       in kf),
@@ -176,12 +193,38 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
             pl.BlockSpec((1, 1, w, in_c),
                          lambda b, t, o, th=th, hmax=hmax:
                          (b, jnp.minimum(t * th + th, hmax), 0, 0)),
-            pl.BlockSpec((3, 3, in_c, ob), lambda b, t, o: (0, 0, 0, o)),
+            pl.BlockSpec((in_c, 9 * ob), lambda b, t, o: (0, o)),
         ],
         out_specs=pl.BlockSpec((1, 2 * th, 2 * w, ob),
                                lambda b, t, o: (b, t, 0, o)),
         interpret=interpret,
-    )(x, x, x, wt)
+    )(x, x, x, wp)
+
+
+_FUSED_MODE = "off"  # "off" | "on" | "auto"
+
+
+def set_fused_upconv(mode: str) -> None:
+    """Select the fused up-conv+blur dispatch for pipeline_fast's wide
+    upsampling layers: "off" (XLA two-pass), "on" (always, for
+    benchmarking), "auto" (compiled-Pallas probe + shape gates).  Set
+    before the first trace."""
+    global _FUSED_MODE
+    assert mode in ("off", "on", "auto"), mode
+    _FUSED_MODE = mode
+
+
+def fused_upconv_active(in_c: int, out_c: int) -> bool:
+    """Trace-time gate for the fused kernel (called from the model's
+    fast-pipeline stage fns)."""
+    if _FUSED_MODE == "off":
+        return False
+    if in_c < 64 or out_c < 64 or in_c % 8 or out_c % 8:
+        return False  # lane-starved shapes stay on the XLA path
+    if _FUSED_MODE == "on":
+        return True
+    from .pallas_probe import compiled_pallas_supported
+    return compiled_pallas_supported()
 
 
 def upconv_blur_reference(x, wt, kf=(0.25, 0.75, 0.75, 0.25)):

@@ -129,9 +129,13 @@ def test_fast_s2d_tail_pipeline_matches_seq():
     o_fast = np.asarray(m(p, z, fast=True))
     rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
     assert rel < 1e-4, rel
-    # 256-model (no narrow layers): fast pipeline is literally seq stages
+    # model with no narrow layers: no s2d-tail overrides; the only fast
+    # overrides are the fused-upconv-capable dconv/blur pairs, which
+    # reduce to the seq stages at trace time while the fused kernel is
+    # off (the default)
     m256 = sg.SeqStyleGAN2(size=32, style_dim=16, n_mlp=1)
-    assert not m256._fast_overrides
+    assert all(k.endswith((".mconv.dconv", ".mconv.blur"))
+               for k in m256._fast_overrides), sorted(m256._fast_overrides)
 
 
 def test_fast_s2d_tail_chained_up_layers():
@@ -172,3 +176,23 @@ def test_bf16_acts_quality_gate(goldens):
     mse = float(np.mean((out - ref) ** 2))
     psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
     assert psnr > 30.0, psnr
+
+
+def test_fused_upconv_pipeline_matches_seq(goldens):
+    """With the fused up-conv+blur kernel forced on, pipeline_fast must
+    stay e2e fp32-tolerance-exact vs the seq pipeline (interpret mode on
+    CPU; the compiled kernel is validated on hardware by
+    scripts/bench_upconv_fused.py)."""
+    from rewriting_tpu.ops.pallas_upconv import set_fused_upconv
+    g, model, params = _golden_model(goldens)
+    z = jnp.asarray(g["z"])
+    noise = model.prepare_noise(z.shape[0])
+    o_seq = np.asarray(model(params, z, noise, fast=False))
+    set_fused_upconv("on")
+    try:
+        # style_dim 64 model: in/out channels 64 >= the lane gate
+        o_fast = np.asarray(model(params, z, noise, fast=True))
+    finally:
+        set_fused_upconv("off")
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert rel < 1e-4, rel
