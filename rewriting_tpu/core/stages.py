@@ -73,7 +73,15 @@ class StagePipeline:
     # -- application ------------------------------------------------------
     def __call__(self, params: Dict[str, Any], bag: DataBag) -> DataBag:
         for stage in self.stages:
-            bag = stage.fn(params.get(stage.name, {}), bag)
+            # a stage fn may opt into receiving the FULL params dict (set
+            # fn._full_params = True) — used by fused fast-pipeline stages
+            # that consume several reference stages' parameters in one
+            # kernel (e.g. dconv+blur+noise+activate); the seq pipeline
+            # never does this, so surgery semantics are unaffected
+            if getattr(stage.fn, "_full_params", False):
+                bag = stage.fn(params, bag)
+            else:
+                bag = stage.fn(params.get(stage.name, {}), bag)
         return bag
 
     # -- introspection ----------------------------------------------------

@@ -221,33 +221,51 @@ def _make_blur(blur_kernel, pad, upsample_factor):
     return fn
 
 
-def _make_fused_upconv_dconv(in_c, out_c, blur_kernel):
+def _make_fused_upconv_dconv(prefix, in_c, out_c, blur_kernel, res=None):
     """pipeline_fast dconv override for wide upsampling layers: when the
     fused Pallas up-conv+blur kernel is enabled (ops/pallas_upconv.py —
     the TPU analog of the reference's upfirdn2d CUDA fusion,
-    utils/stylegan2/op/upfirdn2d_kernel.cu), compute dconv AND blur in
-    one pass; otherwise fall through to the seq dconv (the blur stage
-    dispatches on the resulting shape).  Exact math either way."""
+    utils/stylegan2/op/upfirdn2d_kernel.cu), compute dconv AND blur (and,
+    with the fused epilogue, demod+noise+activate too) in one pass;
+    otherwise fall through to the seq dconv (the downstream stages
+    dispatch on the resulting shape / the same trace-time gates).  Exact
+    math either way.  Receives FULL params (fn._full_params) because the
+    epilogue consumes the noise and activate stages' parameters."""
     seq_fn = _make_dconv(in_c, out_c, 3, True, upsample=True)
     scale = 1.0 / math.sqrt(in_c * 9)
     k = np.asarray(blur_kernel, np.float64)
     kf = tuple(float(v) for v in (k / k.sum()) * 2.0)  # 1-D taps w/ gain
 
     def fn(params, d: DataBag) -> DataBag:
-        from ..ops.pallas_upconv import (fused_upconv_active,
+        from ..ops.pallas_upconv import (fused_epilogue_active,
+                                         fused_upconv_active,
                                          upconv_blur_pallas)
-        if not fused_upconv_active(in_c, out_c):
-            return seq_fn(params, d)
-        w5 = params["weight"]
+        own = params.get(f"{prefix}.mconv.dconv", {})
+        if not fused_upconv_active(in_c, out_c, res):
+            return seq_fn(own, d)
+        w5 = own["weight"]
         wf = jnp.flip(w5[0], (-2, -1)) * scale
         wt = jnp.transpose(wf, (2, 3, 1, 0))            # (3, 3, I, O)
-        out = upconv_blur_pallas(d["fmap"], wt, kf=kf)  # (B, 2H, 2W, O)
+        x = d["fmap"]
         # demod commutes with the (channel-diagonal) blur
         style = d["style"]
         w_sq = jnp.sum(jnp.square(w5[0] * scale), axis=(-2, -1))
         demod = lax.rsqrt(jnp.dot(jnp.square(style), w_sq.T,
                                   precision=get_precision()) + 1e-8)
+        if fused_epilogue_active(in_c, out_c, res):
+            b, h = x.shape[0], x.shape[1]
+            noise = d.get(noise_key(2 * h, 2 * x.shape[2]))
+            if noise is None:
+                noise = jnp.asarray(_reference_noise(b, 2 * h,
+                                                     2 * x.shape[2]))
+            nscaled = params[f"{prefix}.noise"]["weight"] * noise
+            bias = params[f"{prefix}.activate"]["bias"]
+            out = upconv_blur_pallas(x, wt, kf=kf, demod=demod,
+                                     noise=nscaled, bias=bias)
+            return DataBag(d, fmap=out)
+        out = upconv_blur_pallas(x, wt, kf=kf)          # (B, 2H, 2W, O)
         return DataBag(d, fmap=out * demod[:, None, None, :])
+    fn._full_params = True
     return fn
 
 
@@ -262,6 +280,18 @@ def _make_shape_dispatch_blur(blur_kernel, pad, upsample_factor):
         if d["fmap"].shape[1] % 2 == 0:
             return d  # fused kernel already applied the blur
         return blur_fn(params, d)
+    return fn
+
+
+def _make_epilogue_skip(seq_fn, in_c, out_c, res):
+    """noise / activate overrides for fused-epilogue-capable layers:
+    identity when the epilogue ran inside the kernel (same trace-time
+    gate as the dconv stage, so the stages always agree)."""
+    def fn(params, d: DataBag) -> DataBag:
+        from ..ops.pallas_upconv import fused_epilogue_active
+        if fused_epilogue_active(in_c, out_c, res):
+            return d
+        return seq_fn(params, d)
     return fn
 
 
@@ -643,14 +673,21 @@ class SeqStyleGAN2:
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
                 self._s2d_tail = True
             elif upsample and not self._s2d_tail:
-                # wide upsampling layer: fused Pallas up-conv+blur when
-                # enabled (ops/pallas_upconv.set_fused_upconv), else these
-                # overrides reduce to the seq stages at trace time
+                # wide upsampling layer: fused Pallas up-conv+blur(+
+                # epilogue) when enabled (ops/pallas_upconv.
+                # set_fused_upconv), else these overrides reduce to the
+                # seq stages at trace time
                 self._fast_overrides[f"{prefix}.mconv.dconv"] = \
-                    _make_fused_upconv_dconv(in_c, out_c, self.blur_kernel)
+                    _make_fused_upconv_dconv(prefix, in_c, out_c,
+                                             self.blur_kernel, res=res)
                 self._fast_overrides[f"{prefix}.mconv.blur"] = \
                     _make_shape_dispatch_blur(self.blur_kernel,
                                               (pad0, pad1), factor)
+                self._fast_overrides[f"{prefix}.noise"] = \
+                    _make_epilogue_skip(_noise_inject, in_c, out_c, res)
+                self._fast_overrides[f"{prefix}.activate"] = \
+                    _make_epilogue_skip(_fused_lrelu_stage, in_c, out_c,
+                                        res)
             elif (not upsample and self._s2d_tail
                     and in_c <= self.s2d_tail_max_c
                     and out_c <= self.s2d_tail_max_c):

@@ -38,6 +38,7 @@ iterations reuse the same input blocks (only the weight block changes).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -77,8 +78,12 @@ def _dot_hp(x, w, precision):
                                precision=precision)
 
 
-def _upconv_blur_body(main, top, bot, w_ref, out_ref, *, kf, th, w_in,
-                      nt, precision):
+def _upconv_blur_body(main, top, bot, w_ref, *rest, kf, th, w_in,
+                      nt, precision, epilogue):
+    if epilogue:
+        demod_ref, noise_ref, bias_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     t = pl.program_id(1)
     in_dtype = main.dtype
     x_main = main[0]                                   # (th, W, I)
@@ -138,6 +143,16 @@ def _upconv_blur_body(main, top, bot, w_ref, out_ref, *, kf, th, w_in,
     c1 = jnp.stack([o[(1, 0)], o[(1, 1)]], axis=2).reshape(
         th, 2 * w_in, o_c)
     out = jnp.stack([c0, c1], axis=1).reshape(2 * th, 2 * w_in, o_c)
+
+    # 4. optional fused epilogue: demod * out + noise, then bias +
+    #    leaky-relu * sqrt(2) — the whole post-conv elementwise chain
+    #    (demod/noise/activate stages) without another HBM round-trip.
+    if epilogue:
+        out = out * demod_ref[0][None, None, :]
+        out = out + noise_ref[0, :, :, 0][:, :, None]
+        out = out + bias_ref[:][None, None, :]
+        out = jnp.float32(math.sqrt(2.0)) * jnp.where(
+            out >= 0, out, jnp.float32(0.2) * out)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -149,6 +164,7 @@ def _pick(n: int, target: int) -> int:
 
 
 def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
+                       demod=None, noise=None, bias=None,
                        th: Optional[int] = None, ob: Optional[int] = None,
                        interpret: bool = False):
     """Fused up-conv + blur for StyleGAN2's upsampling layers.
@@ -178,51 +194,92 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
     # contiguous lane slice and the kernel needs no weight shuffling
     wp = jnp.transpose(wt.reshape(9, in_c, out_c // ob, ob),
                        (1, 2, 0, 3)).reshape(in_c, 9 * out_c)
+    epilogue = demod is not None
+    assert epilogue == (noise is not None) == (bias is not None), \
+        "demod/noise/bias must be passed together (the fused epilogue)"
+    in_specs = [
+        pl.BlockSpec((1, th, w, in_c), lambda b, t, o: (b, t, 0, 0)),
+        pl.BlockSpec((1, 1, w, in_c),
+                     lambda b, t, o, th=th:
+                     (b, jnp.maximum(t * th - 1, 0), 0, 0)),
+        pl.BlockSpec((1, 1, w, in_c),
+                     lambda b, t, o, th=th, hmax=hmax:
+                     (b, jnp.minimum(t * th + th, hmax), 0, 0)),
+        pl.BlockSpec((in_c, 9 * ob), lambda b, t, o: (0, o)),
+    ]
+    args = [x, x, x, wp]
+    if epilogue:
+        assert demod.shape == (n, out_c), demod.shape
+        assert noise.shape == (n, 2 * h, 2 * w, 1), noise.shape
+        assert bias.shape == (out_c,), bias.shape
+        in_specs += [
+            pl.BlockSpec((1, ob), lambda b, t, o: (b, o)),
+            pl.BlockSpec((1, 2 * th, 2 * w, 1),
+                         lambda b, t, o: (b, t, 0, 0)),
+            pl.BlockSpec((ob,), lambda b, t, o: (o,)),
+        ]
+        args += [demod, noise, bias]
     return pl.pallas_call(
         functools.partial(_upconv_blur_body, kf=tuple(float(v) for v
                                                       in kf),
                           th=th, w_in=w, nt=nt,
-                          precision=get_precision()),
+                          precision=get_precision(), epilogue=epilogue),
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, out_c), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, th, w, in_c), lambda b, t, o: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, w, in_c),
-                         lambda b, t, o, th=th:
-                         (b, jnp.maximum(t * th - 1, 0), 0, 0)),
-            pl.BlockSpec((1, 1, w, in_c),
-                         lambda b, t, o, th=th, hmax=hmax:
-                         (b, jnp.minimum(t * th + th, hmax), 0, 0)),
-            pl.BlockSpec((in_c, 9 * ob), lambda b, t, o: (0, o)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2 * th, 2 * w, ob),
                                lambda b, t, o: (b, t, 0, o)),
         interpret=interpret,
-    )(x, x, x, wp)
+    )(*args)
 
 
 _FUSED_MODE = "off"  # "off" | "on" | "auto"
+_FUSED_MIN_RES = 256  # min OUTPUT resolution; the 256-out layer is where
+# the kernel beats XLA's two-pass chain (13.7 vs 16.7 ms at b32 on v5e —
+# docs/PERF_NOTES.md round 3); the 64/128-out layers measured ties, and
+# every enabled layer pays a worker-side program load at first execution
 
 
-def set_fused_upconv(mode: str) -> None:
+def set_fused_upconv(mode: str, min_res: Optional[int] = None) -> None:
     """Select the fused up-conv+blur dispatch for pipeline_fast's wide
-    upsampling layers: "off" (XLA two-pass), "on" (always, for
-    benchmarking), "auto" (compiled-Pallas probe + shape gates).  Set
-    before the first trace."""
-    global _FUSED_MODE
+    upsampling layers: "off" (XLA two-pass), "on" (all eligible shapes,
+    for benchmarking), "auto" (compiled-Pallas probe + shape gates +
+    the measured min-output-resolution gate).  Set before the first
+    trace."""
+    global _FUSED_MODE, _FUSED_MIN_RES
     assert mode in ("off", "on", "auto"), mode
     _FUSED_MODE = mode
+    if min_res is not None:
+        _FUSED_MIN_RES = min_res
 
 
-def fused_upconv_active(in_c: int, out_c: int) -> bool:
+_FUSED_EPILOGUE = True
+
+
+def set_fused_epilogue(on: bool) -> None:
+    """Toggle the in-kernel demod+noise+bias+lrelu epilogue (A/B knob;
+    on by default — it removes the whole post-conv elementwise pass)."""
+    global _FUSED_EPILOGUE
+    _FUSED_EPILOGUE = bool(on)
+
+
+def fused_epilogue_active(in_c: int, out_c: int,
+                          res: Optional[int] = None) -> bool:
+    return _FUSED_EPILOGUE and fused_upconv_active(in_c, out_c, res)
+
+
+def fused_upconv_active(in_c: int, out_c: int,
+                        res: Optional[int] = None) -> bool:
     """Trace-time gate for the fused kernel (called from the model's
-    fast-pipeline stage fns)."""
+    fast-pipeline stage fns).  `res` = the layer's OUTPUT resolution."""
     if _FUSED_MODE == "off":
         return False
     if in_c < 64 or out_c < 64 or in_c % 8 or out_c % 8:
         return False  # lane-starved shapes stay on the XLA path
     if _FUSED_MODE == "on":
         return True
+    if res is not None and res < _FUSED_MIN_RES:
+        return False
     from .pallas_probe import compiled_pallas_supported
     return compiled_pallas_supported()
 

@@ -127,3 +127,28 @@ def test_fused_upconv_blur_bf16x3_dot():
     approx = np.asarray(_dot_hp(x, w, lax.Precision.HIGH))
     rel = np.abs(approx - exact).max() / np.abs(exact).max()
     assert rel < 1e-5, rel
+
+
+def test_fused_upconv_epilogue_interpret():
+    """The in-kernel demod+noise+bias+lrelu epilogue matches the
+    elementwise chain applied after the two-stage reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rewriting_tpu.ops.fused_act import fused_leaky_relu
+    from rewriting_tpu.ops.pallas_upconv import (upconv_blur_pallas,
+                                                 upconv_blur_reference)
+
+    rng = np.random.RandomState(2)
+    b, h, w, ic, oc = 2, 8, 8, 16, 8
+    x = jnp.asarray(rng.randn(b, h, w, ic), jnp.float32)
+    wt = jnp.asarray(rng.randn(3, 3, ic, oc), jnp.float32) * 0.1
+    demod = jnp.asarray(rng.rand(b, oc) + 0.5, jnp.float32)
+    noise = jnp.asarray(rng.randn(b, 2 * h, 2 * w, 1), jnp.float32)
+    bias = jnp.asarray(rng.randn(oc), jnp.float32)
+    want = upconv_blur_reference(x, wt)
+    want = want * demod[:, None, None, :] + noise
+    want = np.asarray(fused_leaky_relu(want, bias))
+    got = np.asarray(upconv_blur_pallas(x, wt, demod=demod, noise=noise,
+                                        bias=bias, interpret=True))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5, rel

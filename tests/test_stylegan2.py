@@ -134,7 +134,8 @@ def test_fast_s2d_tail_pipeline_matches_seq():
     # reduce to the seq stages at trace time while the fused kernel is
     # off (the default)
     m256 = sg.SeqStyleGAN2(size=32, style_dim=16, n_mlp=1)
-    assert all(k.endswith((".mconv.dconv", ".mconv.blur"))
+    assert all(k.endswith((".mconv.dconv", ".mconv.blur", ".noise",
+                           ".activate"))
                for k in m256._fast_overrides), sorted(m256._fast_overrides)
 
 
