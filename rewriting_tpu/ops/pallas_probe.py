@@ -110,6 +110,77 @@ def compiled_pallas_supported(timeout: float = 120.0) -> bool:
     return ok
 
 
+_FUSED_PROBE_SRC = r"""
+import os, sys
+sys.path.insert(0, os.environ["REWRITING_TPU_REPO"])
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Probe the BlockSpec-only fused up-conv+blur kernel (pallas_upconv.py)
+# — a different capability class from the halo-DMA kernels above: it
+# needs no manual async copies and runs on this image's axon worker.
+# NOTE: the first execution pays the worker-side Mosaic program load,
+# which is highly variable on the axon runtime (4 s - 10+ min), hence
+# the long timeout below.
+from rewriting_tpu.ops.pallas_upconv import (upconv_blur_pallas,
+                                             upconv_blur_reference)
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(2, 8, 8, 128), jnp.float32)
+wt = jnp.asarray(rng.randn(3, 3, 128, 128), jnp.float32) * 0.1
+want = upconv_blur_reference(x, wt)
+got = upconv_blur_pallas(x, wt)
+assert float(jnp.max(jnp.abs(got - want))) < 1e-4 * float(
+    jnp.max(jnp.abs(want))), "fused upconv kernel mismatch"
+print("FUSED_UPCONV_OK")
+"""
+
+_fused_cached = None
+
+
+def fused_upconv_supported(timeout: float = 900.0) -> bool:
+    """True iff the BlockSpec-only fused up-conv+blur kernel ran
+    successfully on this runtime (subprocess probe, success cached).
+    Separate verdict from compiled_pallas_supported(): the halo-DMA FIR
+    kernels fault runtimes where this kernel works."""
+    global _fused_cached
+    if _fused_cached is not None:
+        return _fused_cached
+    path = os.path.join(os.path.dirname(_cache_path()),
+                        "pallas_fused_upconv.json")
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                if bool(json.load(f)["supported"]):
+                    _fused_cached = True
+                    return True
+        except Exception:
+            pass
+    if os.environ.get("REWRITING_TPU_TRY_PALLAS") != "1":
+        _fused_cached = False
+        return False
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ, REWRITING_TPU_REPO=repo)
+        proc = subprocess.run([sys.executable, "-c", _FUSED_PROBE_SRC],
+                              capture_output=True, timeout=timeout,
+                              text=True, env=env)
+        ok = proc.returncode == 0 and "FUSED_UPCONV_OK" in proc.stdout
+    except Exception:
+        ok = False
+    _fused_cached = ok
+    if ok:
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"supported": True}, f)
+        except OSError:
+            pass
+    return ok
+
+
 if __name__ == "__main__":  # standalone probe (run before any TPU work)
     os.environ.setdefault("REWRITING_TPU_TRY_PALLAS", "1")
     print("compiled pallas supported:", compiled_pallas_supported())
+    print("fused upconv supported:", fused_upconv_supported())

@@ -148,9 +148,9 @@ def _upconv_blur_body(main, top, bot, w_ref, *rest, kf, th, w_in,
     #    leaky-relu * sqrt(2) — the whole post-conv elementwise chain
     #    (demod/noise/activate stages) without another HBM round-trip.
     if epilogue:
-        out = out * demod_ref[0][None, None, :]
+        out = out * demod_ref[0, 0][None, None, :]
         out = out + noise_ref[0, :, :, 0][:, :, None]
-        out = out + bias_ref[:][None, None, :]
+        out = out + bias_ref[0][None, None, :]
         out = jnp.float32(math.sqrt(2.0)) * jnp.where(
             out >= 0, out, jnp.float32(0.2) * out)
     out_ref[0] = out.astype(out_ref.dtype)
@@ -212,13 +212,15 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
         assert demod.shape == (n, out_c), demod.shape
         assert noise.shape == (n, 2 * h, 2 * w, 1), noise.shape
         assert bias.shape == (out_c,), bias.shape
+        # compiled Mosaic requires the last-2 block dims to be 8/128-
+        # aligned or whole: give demod/bias a unit second-minor axis
         in_specs += [
-            pl.BlockSpec((1, ob), lambda b, t, o: (b, o)),
+            pl.BlockSpec((1, 1, ob), lambda b, t, o: (b, 0, o)),
             pl.BlockSpec((1, 2 * th, 2 * w, 1),
                          lambda b, t, o: (b, t, 0, 0)),
-            pl.BlockSpec((ob,), lambda b, t, o: (o,)),
+            pl.BlockSpec((1, ob), lambda b, t, o: (0, o)),
         ]
-        args += [demod, noise, bias]
+        args += [demod[:, None, :], noise, bias[None, :]]
     return pl.pallas_call(
         functools.partial(_upconv_blur_body, kf=tuple(float(v) for v
                                                       in kf),
@@ -276,12 +278,13 @@ def fused_upconv_active(in_c: int, out_c: int,
         return False
     if in_c < 64 or out_c < 64 or in_c % 8 or out_c % 8:
         return False  # lane-starved shapes stay on the XLA path
+    if res is not None and res < _FUSED_MIN_RES:
+        return False  # sub-gate layers measured as ties: not worth the
+        # per-program worker load ("on" included; pass min_res to widen)
     if _FUSED_MODE == "on":
         return True
-    if res is not None and res < _FUSED_MIN_RES:
-        return False
-    from .pallas_probe import compiled_pallas_supported
-    return compiled_pallas_supported()
+    from .pallas_probe import fused_upconv_supported
+    return fused_upconv_supported()
 
 
 def upconv_blur_reference(x, wt, kf=(0.25, 0.75, 0.75, 0.25)):
