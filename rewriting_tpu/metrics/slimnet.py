@@ -33,7 +33,6 @@ Inference only: BN is folded to an affine (scale, bias).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
@@ -82,21 +81,20 @@ def _conv_bn(sd, conv_key, bn_key, depthwise=False):
     if cb is not None:
         bias = bias + scale * np.asarray(cb, np.float32)
     if depthwise:
+        # torch depthwise is (O,1,kh,kw); as HWIO with I=1 it drives
+        # feature_group_count=O below
         assert w.shape[1] == 1, (conv_key, w.shape)
-        # torch depthwise (O,1,kh,kw) -> HWIO with feature_group_count=O
-        wj = w.transpose(2, 3, 1, 0)
-    else:
-        wj = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    wj = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
     return {"w": jnp.asarray(wj), "scale": jnp.asarray(scale),
-            "bias": jnp.asarray(bias), "depthwise": depthwise}
+            "bias": jnp.asarray(bias)}
 
 
 def _apply_conv_bn(p, x, stride=1, padding="SAME"):
     w = p["w"]
-    groups = w.shape[3] if p["depthwise"] else 1
-    if p["depthwise"]:
-        # HWIO with I=1, O=C, feature_group_count=C
-        w = jnp.transpose(w, (0, 1, 2, 3))
+    # depthwise iff HWIO in-channels == 1 (no real conv here has a
+    # 1-channel input otherwise); shape-derived so it stays static when
+    # params are traced jit arguments
+    groups = w.shape[3] if w.shape[2] == 1 else 1
     out = lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -217,6 +215,10 @@ def _forward(params, x):
         sse = jnp.concatenate([e1, e3], axis=-1)
         dws = _apply_conv_bn(m["dws_pw"], _apply_conv_bn(m["dws_dw"], sse))
         x = dws + _apply_conv_bn(m["skip"], x)
+    # upstream pools after EVERY module (conv_1 and slim_module_1..4 each
+    # feed max_pool); the loop above covers conv_1..module_3, this is
+    # module_4's pool before the global average
+    x = _maxpool(x)
     x = jnp.mean(x, axis=(1, 2))  # global average pool
     return x @ params["fc"]["w"] + params["fc"]["b"]
 
@@ -236,7 +238,9 @@ class SlimNetClassifier:
                     weights_only=False).items()}
         self.params = params_from_state_dict(state_dict)
         self.attr = attr
-        self._jit = jax.jit(functools.partial(_forward, self.params))
+        # params passed as a jit argument (not closed over) so weights are
+        # not baked into the executable as constants
+        self._jit = jax.jit(_forward)
 
     def logits(self, images):
         """images (B, H, W, 3) in [-1, 1] -> (B, 40) attribute logits."""
@@ -245,7 +249,7 @@ class SlimNetClassifier:
             # reference transform: Resize((178, 218)) = (h, w), bilinear
             images = jax.image.resize(
                 images, (images.shape[0], 178, 218, 3), "bilinear")
-        return self._jit(images)
+        return self._jit(self.params, images)
 
     def __call__(self, images):
         probs = jax.nn.sigmoid(self.logits(images))
