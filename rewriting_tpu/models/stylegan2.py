@@ -659,7 +659,10 @@ class SeqStyleGAN2:
             # fast s2d tail (production sampling): measured win on v5e for
             # <=32-channel layers at >=512 resolution (docs/PERF_NOTES.md)
             if (upsample and out_c <= self.s2d_tail_max_c
-                    and (res or 0) >= self.s2d_tail_min_res):
+                    and (res or 0) >= self.s2d_tail_min_res
+                    and len(self.blur_kernel) == 4):
+                # (the blur-folded composite kernel is, like the fused
+                # Pallas kernel below, specialized to 4-tap FIRs)
                 if self._s2d_tail:  # previous tail layer emits s2d
                     self._fast_overrides[f"{prefix}.mconv.adain"] = \
                         _apply_style_s2d
@@ -672,11 +675,15 @@ class SeqStyleGAN2:
                 self._fast_overrides[f"{prefix}.noise"] = _noise_inject_s2d
                 self._fast_overrides[f"{prefix}.activate"] = _fused_lrelu_s2d
                 self._s2d_tail = True
-            elif upsample and not self._s2d_tail:
+            elif (upsample and not self._s2d_tail
+                    and len(self.blur_kernel) == 4):
                 # wide upsampling layer: fused Pallas up-conv+blur(+
                 # epilogue) when enabled (ops/pallas_upconv.
                 # set_fused_upconv), else these overrides reduce to the
-                # seq stages at trace time
+                # seq stages at trace time.  The kernel's phase-space blur
+                # is specialized to 4-tap FIRs (the len==4 gate keeps ALL
+                # four stage overrides consistently absent otherwise —
+                # pipeline_fast then runs the exact seq stages here).
                 self._fast_overrides[f"{prefix}.mconv.dconv"] = \
                     _make_fused_upconv_dconv(prefix, in_c, out_c,
                                              self.blur_kernel, res=res)

@@ -175,7 +175,13 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
         (models/stylegan2.py _make_dconv: w = flip(w5[0]) * scale;
         wt = w.transpose(2, 3, 1, 0)).
     kf: 1-D factor taps of the blur INCLUDING the 4x upsample gain
-        ([1,3,3,1]/8 * 2 for the standard kernel).
+        ([1,3,3,1]/8 * 2 for the standard kernel), in FIR (upfirdn2d /
+        upconv_blur_reference) orientation; the kernel body consumes the
+        flipped (convolution-orientation) taps, flipped here — only
+        visible for asymmetric kernels.
+    noise: optional (B, 2H, 2W, 1) or broadcast (1, 2H, 2W, 1) — the
+        batch-1 form is served to every batch index via the BlockSpec
+        index map (free; no materialized tiling).
 
     Returns (B, 2H, 2W, O) == blur2d(up_dconv(x), pad=(1,1), gain 4),
     the exact composition of the two seq stages.
@@ -210,20 +216,22 @@ def upconv_blur_pallas(x, wt, *, kf=(0.25, 0.75, 0.75, 0.25),
     args = [x, x, x, wp]
     if epilogue:
         assert demod.shape == (n, out_c), demod.shape
-        assert noise.shape == (n, 2 * h, 2 * w, 1), noise.shape
+        assert noise.shape in ((n, 2 * h, 2 * w, 1),
+                               (1, 2 * h, 2 * w, 1)), noise.shape
         assert bias.shape == (out_c,), bias.shape
+        noise_b = (lambda b, t, o: (0, t, 0, 0)) if noise.shape[0] == 1 \
+            else (lambda b, t, o: (b, t, 0, 0))
         # compiled Mosaic requires the last-2 block dims to be 8/128-
         # aligned or whole: give demod/bias a unit second-minor axis
         in_specs += [
             pl.BlockSpec((1, 1, ob), lambda b, t, o: (b, 0, o)),
-            pl.BlockSpec((1, 2 * th, 2 * w, 1),
-                         lambda b, t, o: (b, t, 0, 0)),
+            pl.BlockSpec((1, 2 * th, 2 * w, 1), noise_b),
             pl.BlockSpec((1, ob), lambda b, t, o: (0, o)),
         ]
         args += [demod[:, None, :], noise, bias[None, :]]
     return pl.pallas_call(
         functools.partial(_upconv_blur_body, kf=tuple(float(v) for v
-                                                      in kf),
+                                                      in kf)[::-1],
                           th=th, w_in=w, nt=nt,
                           precision=get_precision(), epilogue=epilogue),
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, out_c), x.dtype),

@@ -214,11 +214,19 @@ class Model:
 
 _COMM_JS = r"""
 (function() {
-  var model = {id: "%(id)s", props: %(props)s, comm: null, handlers: {}};
+  var model = {id: "%(id)s", props: %(props)s, comm: null, handlers: {},
+               pending: []};
   function recv(d) {
     model.props[d.name] = d.value;
     (model.handlers[d.name] || []).forEach(function(h) { h(d.value); });
   }
+  // Colab's comm opens asynchronously: events fired between render and
+  // comm-open must not be dropped, so sends queue until attach() flushes.
+  model.attach = function(comm) {
+    model.comm = comm;
+    model.pending.forEach(function(d) { comm.send(d); });
+    model.pending = [];
+  };
   function connect() {
     // Environment dispatch (the reference selects a transport by
     // WIDGET_ENV, utils/labwidget.py:1010-1076; here one runtime probes
@@ -230,7 +238,7 @@ _COMM_JS = r"""
         google.colab.kernel && google.colab.kernel.comms) {
       google.colab.kernel.comms.open('labwidget', {id: model.id}).then(
         function(comm) {
-          model.comm = {send: function(d) { comm.send(d); }};
+          model.attach({send: function(d) { comm.send(d); }});
           (function pump(it) {
             it.next().then(function(r) {
               if (r.done) { return; }
@@ -244,9 +252,10 @@ _COMM_JS = r"""
     // 2. Classic Jupyter notebook: global Jupyter kernel object.
     if (typeof Jupyter !== 'undefined' && Jupyter.notebook &&
         Jupyter.notebook.kernel) {
-      model.comm = Jupyter.notebook.kernel.comm_manager.new_comm(
+      var jc = Jupyter.notebook.kernel.comm_manager.new_comm(
           'labwidget', {id: model.id});
-      model.comm.on_msg(function(msg) { recv(msg.content.data); });
+      jc.on_msg(function(msg) { recv(msg.content.data); });
+      model.attach(jc);
       return;
     }
     // 3. JupyterLab / Notebook 7: no kernel global in output areas; use
@@ -261,13 +270,14 @@ _COMM_JS = r"""
       var c = kernel.createComm('labwidget');
       c.open({id: model.id});
       c.onMsg = function(msg) { recv(msg.content.data); };
-      model.comm = {send: function(d) { c.send(d); }};
+      model.attach({send: function(d) { c.send(d); }});
       return;
     }
   }
   model.set = function(name, value) {
     model.props[name] = value;
-    if (model.comm) { model.comm.send({name: name, value: value}); }
+    var d = {name: name, value: value};
+    if (model.comm) { model.comm.send(d); } else { model.pending.push(d); }
     (model.handlers[name] || []).forEach(function(h) { h(value); });
   };
   model.on = function(name, h) {

@@ -253,6 +253,21 @@ window.addEventListener('load', async function() { try {
   var prev = document.getElementById(IDS.button).previousSibling;
   check("write renders above widget",
         prev && prev.innerHTML === "<pre>captured output</pre>");
+
+  // --- pending queue: view events fired before the comm opens (Colab's
+  // promise-based open resolves asynchronously) queue and flush on
+  // attach, never dropped.
+  var mdl = window._labwidget_models[IDS.button];
+  var saved = mdl.comm;
+  mdl.comm = null;
+  btn.click();
+  check("pre-open click queued not dropped",
+        mdl.pending.length === 1 &&
+        sent(IDS.button, "click").length === 1);
+  mdl.attach(saved);
+  check("queued click flushed on attach",
+        sent(IDS.button, "click").length === 2 &&
+        mdl.pending.length === 0);
 } catch (e) {
   results.push("FAIL exception: " + e);
 }

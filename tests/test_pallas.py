@@ -110,6 +110,16 @@ def test_fused_upconv_blur_interpret():
         assert got.shape == (2, 2 * h, 2 * w, oc)
         rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
         assert rel < 1e-5, ((h, w, ic, oc), kw, rel)
+    # asymmetric taps: both fns take kf in FIR (upfirdn2d) orientation —
+    # the kernel flips internally (regression: unflipped taps only looked
+    # right because [1,3,3,1] is symmetric)
+    kf = (0.1, 0.5, 0.9, 0.5)
+    x = jnp.asarray(rng.randn(1, 8, 8, 16), jnp.float32)
+    wt = jnp.asarray(rng.randn(3, 3, 16, 8), jnp.float32) * 0.1
+    want = np.asarray(upconv_blur_reference(x, wt, kf=kf))
+    got = np.asarray(upconv_blur_pallas(x, wt, kf=kf, interpret=True))
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert rel < 1e-5, ("asymmetric kf", rel)
 
 
 def test_fused_upconv_blur_bf16x3_dot():
@@ -151,4 +161,14 @@ def test_fused_upconv_epilogue_interpret():
     got = np.asarray(upconv_blur_pallas(x, wt, demod=demod, noise=noise,
                                         bias=bias, interpret=True))
     rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5, rel
+    # broadcast (1, 2H, 2W, 1) noise with batch > 1: served to every
+    # batch index via the BlockSpec index map, matching the seq stage's
+    # natural broadcasting (regression: this used to be rejected)
+    n1 = jnp.asarray(rng.randn(1, 2 * h, 2 * w, 1), jnp.float32)
+    want_b = upconv_blur_reference(x, wt) * demod[:, None, None, :] + n1
+    want_b = np.asarray(fused_leaky_relu(want_b, bias))
+    got_b = np.asarray(upconv_blur_pallas(x, wt, demod=demod, noise=n1,
+                                          bias=bias, interpret=True))
+    rel = np.abs(got_b - want_b).max() / np.abs(want_b).max()
     assert rel < 1e-5, rel

@@ -183,17 +183,84 @@ def test_fused_upconv_pipeline_matches_seq(goldens):
     """With the fused up-conv+blur kernel forced on, pipeline_fast must
     stay e2e fp32-tolerance-exact vs the seq pipeline (interpret mode on
     CPU; the compiled kernel is validated on hardware by
-    scripts/bench_upconv_fused.py)."""
-    from rewriting_tpu.ops.pallas_upconv import set_fused_upconv
+    scripts/bench_upconv_fused.py).  min_res=0 forces the kernel to
+    actually engage on the tiny model's res-8/16 layers (the default 256
+    gate would silently compare seq against itself)."""
+    from rewriting_tpu.ops.pallas_upconv import (fused_upconv_active,
+                                                 set_fused_upconv)
     g, model, params = _golden_model(goldens)
     z = jnp.asarray(g["z"])
     noise = model.prepare_noise(z.shape[0])
     o_seq = np.asarray(model(params, z, noise, fast=False))
-    set_fused_upconv("on")
+    set_fused_upconv("on", min_res=0)
     try:
-        # style_dim 64 model: in/out channels 64 >= the lane gate
+        # style_dim 64 model: in/out channels 64 >= the lane gate; guard
+        # against this test going vacuous again
+        assert fused_upconv_active(64, 64, 16)
         o_fast = np.asarray(model(params, z, noise, fast=True))
     finally:
-        set_fused_upconv("off")
+        set_fused_upconv("off", min_res=256)
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert 0.0 < rel < 1e-4, rel  # 0.0 would mean the kernel never ran
+
+
+def test_fused_upconv_asymmetric_blur_kernel(goldens):
+    """An asymmetric 4-tap blur_kernel must stay e2e-exact through the
+    fused path (regression: the fused derivation passed unflipped taps
+    into the flipped-tap kernel body, correct only for symmetric FIRs)."""
+    from rewriting_tpu.ops.pallas_upconv import set_fused_upconv
+    g = goldens("stylegan2_tiny")
+    sd = {k[len("sd."):]: g[k] for k in g.files if k.startswith("sd.")}
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2,
+                         blur_kernel=[1, 2, 3, 1])
+    params = params_from_state_dict(model, sd)
+    z = jnp.asarray(g["z"])
+    noise = model.prepare_noise(z.shape[0])
+    o_seq = np.asarray(model(params, z, noise, fast=False))
+    set_fused_upconv("on", min_res=0)
+    try:
+        o_fast = np.asarray(model(params, z, noise, fast=True))
+    finally:
+        set_fused_upconv("off", min_res=256)
+    rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
+    assert 0.0 < rel < 1e-4, rel
+
+
+def test_non_4tap_blur_kernel_builds_and_falls_back(goldens):
+    """A non-4-tap blur_kernel builds fine and pipeline_fast degrades to
+    the exact seq stages (the fused kernel and the s2d composite are both
+    4-tap-specialized, so their overrides must not install)."""
+    from rewriting_tpu.ops.pallas_upconv import set_fused_upconv
+    g = goldens("stylegan2_tiny")
+    sd = {k[len("sd."):]: g[k] for k in g.files if k.startswith("sd.")}
+    model = SeqStyleGAN2(size=16, style_dim=64, n_mlp=2,
+                         blur_kernel=[1, 2, 1])
+    params = params_from_state_dict(model, sd)
+    z = jnp.asarray(g["z"])
+    noise = model.prepare_noise(z.shape[0])
+    o_seq = np.asarray(model(params, z, noise, fast=False))
+    set_fused_upconv("on", min_res=0)
+    try:
+        o_fast = np.asarray(model(params, z, noise, fast=True))
+    finally:
+        set_fused_upconv("off", min_res=256)
+    np.testing.assert_array_equal(o_fast, o_seq)
+
+
+def test_fused_upconv_broadcast_noise(goldens):
+    """Fixed noise buffers shaped (1, r, r, 1) with batch > 1 work through
+    the fused epilogue exactly like the seq stage's broadcasting
+    (regression: the fused path asserted batch-matched noise)."""
+    from rewriting_tpu.ops.pallas_upconv import set_fused_upconv
+    g, model, params = _golden_model(goldens)
+    z = jnp.asarray(g["z"])
+    assert z.shape[0] > 1
+    noise1 = {k: v[:1] for k, v in model.prepare_noise(1).items()}
+    o_seq = np.asarray(model(params, z, noise1, fast=False))
+    set_fused_upconv("on", min_res=0)
+    try:
+        o_fast = np.asarray(model(params, z, noise1, fast=True))
+    finally:
+        set_fused_upconv("off", min_res=256)
     rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
     assert rel < 1e-4, rel
