@@ -8,8 +8,9 @@ TPU v5p-8 == 625 img/s/chip; rank-1 edit solve < 1 s.  vs_baseline is the
 measured StyleGAN2-256 img/s/chip divided by 625.
 
 Extra rows (SURVEY.md §6 workload scales): StyleGAN2 at 512/1024, ProgGAN
-at 256, the batched 8-edit server configuration, and a small end-to-end
-sample->segment->FID-stats pipeline with a 10k-image extrapolation.
+at 256, the batched 8-edit server configuration, a small end-to-end
+sample->segment->FID-stats pipeline (with a 10k extrapolation), and the
+REAL 10k-image pipeline measured end to end (skip with --skip-10k).
 
 Timing methodology: distinct pre-materialized inputs per dispatch, loop
 pipelined (block once at the end) — steady-state throughput with no
