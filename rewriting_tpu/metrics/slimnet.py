@@ -203,6 +203,20 @@ def init_random_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
     return sd
 
 
+# one module-level jit shared by all classifier instances: params are a
+# traced argument (never baked in as constants), so a second instance —
+# another checkpoint, or one classifier per attribute — reuses the same
+# compiled executable instead of re-tracing
+_forward_jit = None
+
+
+def _get_forward_jit():
+    global _forward_jit
+    if _forward_jit is None:
+        _forward_jit = jax.jit(_forward)
+    return _forward_jit
+
+
 def _forward(params, x):
     """x: (B, H, W, 3) normalized to [-1, 1] -> (B, 40) logits."""
     x = _apply_conv_bn(params["stem"], x, stride=2)
@@ -238,9 +252,6 @@ class SlimNetClassifier:
                     weights_only=False).items()}
         self.params = params_from_state_dict(state_dict)
         self.attr = attr
-        # params passed as a jit argument (not closed over) so weights are
-        # not baked into the executable as constants
-        self._jit = jax.jit(_forward)
 
     def logits(self, images):
         """images (B, H, W, 3) in [-1, 1] -> (B, 40) attribute logits."""
@@ -249,7 +260,7 @@ class SlimNetClassifier:
             # reference transform: Resize((178, 218)) = (h, w), bilinear
             images = jax.image.resize(
                 images, (images.shape[0], 178, 218, 3), "bilinear")
-        return self._jit(self.params, images)
+        return _get_forward_jit()(self.params, images)
 
     def __call__(self, images):
         probs = jax.nn.sigmoid(self.logits(images))

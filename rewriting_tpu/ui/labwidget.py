@@ -246,6 +246,12 @@ _COMM_JS = r"""
               pump(it);
             });
           })(comm.messages[Symbol.asyncIterator]());
+        },
+        function(err) {
+          // open rejected: attach a sink so sends drop (pre-queue
+          // semantics) instead of queueing forever
+          console.warn('labwidget comm open failed', err);
+          model.attach({send: function(d) {}});
         });
       return;
     }
@@ -277,7 +283,13 @@ _COMM_JS = r"""
   model.set = function(name, value) {
     model.props[name] = value;
     var d = {name: name, value: value};
-    if (model.comm) { model.comm.send(d); } else { model.pending.push(d); }
+    if (model.comm) { model.comm.send(d); }
+    else {
+      // bound the queue: with no transport ever attaching (static HTML
+      // export, nbviewer), keep only the most recent sends
+      model.pending.push(d);
+      if (model.pending.length > 256) { model.pending.shift(); }
+    }
     (model.handlers[name] || []).forEach(function(h) { h(value); });
   };
   model.on = function(name, h) {
