@@ -408,7 +408,6 @@ def main():
         from rewriting_tpu.metrics.fid import (FeatureExtractor,
                                                compute_feature_stats)
         from rewriting_tpu.native import read_image_rgb
-        from rewriting_tpu.utils import renormalize
         n_full = 10000
         tmpd = tempfile.mkdtemp(prefix="bench_pipe10k_")
         try:
@@ -424,21 +423,29 @@ def main():
             net = BiSeNet(n_classes=19)
             seg = FaceSegmenter(params=net.init_params(
                 jax.random.PRNGKey(0)))
-            seg.segment_batch(np.zeros((batch, size, size, 3),
-                                       np.float32))  # exclude compile
+            # warm the uint8-traced programs the drivers dispatch (a
+            # fp32 warmup would leave the uint8 trace's compile + remote
+            # program load inside the timed region); the host fetch in
+            # segment_batch/__call__ guarantees remote residency
+            warm = (np.arange(batch * size * size * 3, dtype=np.int64)
+                    % 251).astype(np.uint8).reshape(batch, size, size, 3)
+            seg.segment_batch(warm)
             t0 = time.perf_counter()
             seg_stats.process(seg, imgd, segd, n=n_full, batch_size=batch)
             t_seg10 = time.perf_counter() - t0
             fe = FeatureExtractor(params=None, batch_size=batch,
                                   allow_random=True)
-            fe(np.zeros((batch, size, size, 3), np.float32) + 0.01)
+            fe(warm)
+            if n_full % batch:  # the reader's tail batch is a 2nd shape
+                fe(warm[:n_full % batch])
 
             def png_batches():
+                # uint8 straight to the device; FeatureExtractor
+                # normalizes on-chip (metrics/inception.py)
                 buf = []
                 for i in range(n_full):
-                    img = read_image_rgb(os.path.join(
-                        imgd, f"{i}.png")).astype(np.float32) / 255.0
-                    buf.append(renormalize.renormalize(img, "pt", "zc"))
+                    buf.append(read_image_rgb(
+                        os.path.join(imgd, f"{i}.png")))
                     if len(buf) == batch or i == n_full - 1:
                         yield np.stack(buf)
                         buf = []

@@ -122,7 +122,15 @@ class InceptionV3Features:
         self.resize_to = resize_to
 
     def __call__(self, params: Dict, images) -> jnp.ndarray:
-        x = jnp.asarray(images, jnp.float32)
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            # device-side normalize: bytes [0,255] -> zc [-1,1], the
+            # renormalize("pt","zc") arithmetic.  4x fewer host-link
+            # bytes; XLA folds /255*2 into one multiply, so values can
+            # differ from the host fp32 pipeline by <=1 ulp (features
+            # agree to ~1e-4 relative; labels/argmax are unaffected).
+            x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        x = x.astype(jnp.float32)
         if x.shape[1:3] != (self.resize_to, self.resize_to):
             # plain bilinear (no antialias) to match the reference FID
             # pipeline's resize semantics

@@ -151,19 +151,46 @@ class FaceSegmenter:
                 _torch_load_numpy(weights_path))
         self.params = params
         self._jit = jax.jit(self.net.__call__)
+        self._e2e = jax.jit(self._labels, static_argnums=(2,))
 
     def get_label_and_category_names(self):
         return [(c, "face") for c in FACE_CLASSES], ["face"]
 
-    def segment_batch(self, xs, downsample: int = 1):
-        """xs (B,H,W,3) zc RGB -> (B,1,H/d,W/d) int64 labels."""
-        xs = jnp.asarray(xs, jnp.float32)
-        og = xs.shape[1:3]
-        x512 = jax.image.resize(xs, (xs.shape[0], 512, 512, 3), "nearest")
-        out = self._jit(self.params, x512)
+    def _labels(self, params, xs, target):
+        """One fused program: resize-to-512 + (uint8) normalize + BiSeNet
+        + argmax + label resize -> (B,1,*target) uint8 labels.  A single
+        dispatch instead of four, with uint8 in/out, matters through a
+        remote-device link: fp32 upload + int64 label download is 24x the
+        bytes of the uint8 pair."""
+        if xs.dtype == jnp.uint8:
+            # nearest resize is value-preserving, so resizing the uint8
+            # bytes first then normalizing equals the host-side
+            # read/255 -> renormalize("pt","zc") -> resize order exactly
+            # (pt->zc is x*2-1 with exact fp32 constants).
+            x512 = jax.image.resize(xs, (xs.shape[0], 512, 512, 3),
+                                    "nearest")
+            x512 = x512.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        else:
+            x512 = jax.image.resize(xs.astype(jnp.float32),
+                                    (xs.shape[0], 512, 512, 3), "nearest")
+        out = self.net(params, x512)
         labels = jnp.argmax(out, axis=-1)[:, None]
-        target = (og[0] // downsample, og[1] // downsample)
         if target != (512, 512):
             labels = jax.image.resize(
                 labels, (labels.shape[0], 1) + target, "nearest")
-        return np.asarray(labels).astype(np.int64)
+        return labels.astype(jnp.uint8)
+
+    def segment_batch_device(self, xs, downsample: int = 1):
+        """Async device path: xs (B,H,W,3) uint8 RGB [0,255] or zc float
+        -> DEVICE (B,1,H/d,W/d) uint8 labels.  Does not block; callers
+        pipeline host work against the dispatch and fetch with
+        np.asarray when needed (metrics/seg_stats.py)."""
+        xs = jnp.asarray(xs)
+        og = xs.shape[1:3]
+        target = (og[0] // downsample, og[1] // downsample)
+        return self._e2e(self.params, xs, target)
+
+    def segment_batch(self, xs, downsample: int = 1):
+        """xs (B,H,W,3) zc RGB (or uint8) -> (B,1,H/d,W/d) int64 labels."""
+        return np.asarray(
+            self.segment_batch_device(xs, downsample)).astype(np.int64)

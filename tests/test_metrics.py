@@ -43,6 +43,24 @@ def test_feature_stats_stream_equals_direct():
     np.testing.assert_allclose(sigma, np.cov(feats.T), atol=1e-4)
 
 
+def test_feature_extractor_uint8_matches_host_fp32():
+    """uint8 batches (device-normalized, metrics/inception.py) must give
+    the same features as the host read/255 -> renormalize zc pipeline up
+    to the <=1-ulp input rounding difference (XLA folds /255*2 into one
+    multiply; see the inception.py normalize comment)."""
+    from rewriting_tpu.utils import renormalize
+    fe = fid_mod.FeatureExtractor(params=None, batch_size=4,
+                                  allow_random=True)
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    host = renormalize.renormalize(u8.astype(np.float32) / 255.0,
+                                   "pt", "zc")
+    a, b = fe(u8), fe(host)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    # async device handle is exactly the blocking call's value
+    np.testing.assert_array_equal(np.asarray(fe.device_features(u8)), a)
+
+
 def test_compute_fid_with_cheap_features():
     rng = np.random.RandomState(2)
 

@@ -201,6 +201,29 @@ def test_face_segmenter_random():
     assert out.max() < 19 and out.min() >= 0
 
 
+@pytest.mark.slow
+def test_face_segmenter_uint8_matches_host_fp32():
+    """The uint8 device path (resize bytes -> normalize on device, one
+    fused dispatch, metrics/seg_stats.py driver) must reproduce the host
+    read/255 -> renormalize('pt','zc') float pipeline exactly."""
+    from rewriting_tpu.utils import renormalize
+    net = BiSeNet(n_classes=19)
+    params = net.init_params(jax.random.PRNGKey(0))
+    seg = FaceSegmenter(params=params)
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    host = renormalize.renormalize(u8.astype(np.float32) / 255.0,
+                                   "pt", "zc")
+    out_f = seg.segment_batch(host)
+    out_u = seg.segment_batch(u8)
+    assert out_u.dtype == out_f.dtype == np.int64
+    np.testing.assert_array_equal(out_u, out_f)
+    # the async device handle agrees and stays uint8
+    dev = seg.segment_batch_device(u8)
+    assert np.asarray(dev).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(dev).astype(np.int64), out_f)
+
+
 def test_no_and_merged_segmenter():
     a = NoSegmenter()
     x = np.zeros((2, 16, 16, 3), np.float32)
