@@ -57,6 +57,9 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
         imgs = np.stack(batch)  # uint8 (B,H,W,3)
         if device_path:
             dev = segmodel.segment_batch_device(imgs)
+        elif getattr(segmodel, "accepts_uint8", False):
+            # device-side normalize (segmenter raw_seg_prediction)
+            dev = segmodel.segment_batch(imgs)
         else:  # duck-typed segmenters take zc float batches
             dev = segmodel.segment_batch(renormalize.renormalize(
                 imgs.astype(np.float32) / 255.0, "pt", "zc"))

@@ -61,6 +61,8 @@ class MergedSegmenter(BaseSegmenter):
 
     def __init__(self, component_segmenters: Sequence[BaseSegmenter]):
         self.segmenters = list(component_segmenters)
+        self.accepts_uint8 = all(getattr(s, "accepts_uint8", False)
+                                 for s in self.segmenters)
         self.labels = []
         self.cats = []
         self.offsets = []
@@ -190,13 +192,22 @@ class UnifiedParsingSegmenter(BaseSegmenter):
         return labelcats, ["object", "part", "material"]
 
     # -- prediction ---------------------------------------------------------
+    accepts_uint8 = True  # device-normalized byte input (seg_stats driver)
+
     def raw_seg_prediction(self, tensor_images, downsample: int = 1):
         """Multi-resolution voting on softmax maps
-        (reference segmenter.py:244-280). Input RGB zc NHWC."""
-        x = jnp.asarray(tensor_images, jnp.float32)
+        (reference segmenter.py:244-280). Input RGB zc NHWC, or uint8
+        [0,255] (the model's native scale — the zc->[0,255] round-trip
+        cancels, so bytes go straight to BGR mean subtraction; 4x fewer
+        host-link bytes for streaming drivers like metrics/seg_stats)."""
+        x = jnp.asarray(tensor_images)
         b, y, xdim = x.shape[0], x.shape[1], x.shape[2]
-        # zc -> [0,255], RGB -> BGR, subtract channel means
-        x = (x + 1.0) / 2.0 * 255.0
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32)
+        else:
+            # zc -> [0,255]
+            x = (jnp.asarray(x, jnp.float32) + 1.0) / 2.0 * 255.0
+        # RGB -> BGR, subtract channel means
         x = x[..., ::-1] - jnp.asarray(MEAN_BGR)
         seg_shape = (y // downsample, xdim // downsample)
         pred = {k: 0.0 for k in ["object", "material"]}

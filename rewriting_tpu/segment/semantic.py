@@ -485,14 +485,21 @@ class SemanticSegmenter:
         return ([(label, self.category) for label in self.labels],
                 [self.category])
 
+    accepts_uint8 = True  # device-normalized byte input (seg_stats driver)
+
     def raw_seg_prediction(self, images, downsample: int = 1):
-        x = jnp.asarray(images, jnp.float32)
+        """Input RGB zc NHWC float, or uint8 [0,255] normalized on device
+        (bytes/255 -> the same [0,1] scale the zc path reaches)."""
+        x = jnp.asarray(images)
         h, w = x.shape[1:3]
-        # zc -> [0,1] -> model-meta normalization
+        # zc (or bytes) -> [0,1] -> model-meta normalization
         mean = np.asarray(self.imageformat["mean"], np.float32)
         std = np.asarray(self.imageformat.get(
             "stdev", self.imageformat.get("scale", [1, 1, 1])), np.float32)
-        x = (x + 1.0) / 2.0
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = (jnp.asarray(x, jnp.float32) + 1.0) / 2.0
         if self.imageformat.get("byteorder", "RGB") == "BGR":
             x = x[..., ::-1]
         x = (x - mean) / std

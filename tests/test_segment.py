@@ -224,11 +224,37 @@ def test_face_segmenter_uint8_matches_host_fp32():
     np.testing.assert_array_equal(np.asarray(dev).astype(np.int64), out_f)
 
 
+@pytest.mark.slow
+def test_upp_uint8_matches_zc_float(upp_seg):
+    """uint8 input (device-normalized, segmenter.raw_seg_prediction: the
+    zc->[0,255] round-trip cancels so bytes feed BGR mean subtraction
+    directly) must match the host zc-float pipeline up to the ~1-ulp
+    round-trip rounding of the input bytes."""
+    from rewriting_tpu.utils import renormalize
+    rng = np.random.RandomState(11)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    zc = renormalize.renormalize(u8.astype(np.float32) / 255.0, "pt", "zc")
+    assert upp_seg.accepts_uint8
+    pred_u, parts_u = upp_seg.raw_seg_prediction(u8)
+    pred_f, parts_f = upp_seg.raw_seg_prediction(zc)
+    for k in pred_u:
+        np.testing.assert_allclose(np.asarray(pred_u[k]),
+                                   np.asarray(pred_f[k]),
+                                   rtol=1e-3, atol=1e-4)
+    seg_u, seg_f = upp_seg.segment_batch(u8), upp_seg.segment_batch(zc)
+    assert seg_u.shape == seg_f.shape and seg_u.dtype == np.int64
+    # argmax can flip only where the top-2 logits tie within the input's
+    # 1-ulp perturbation — essentially never, but not provably never
+    agree = (seg_u == seg_f).mean()
+    assert agree > 0.995, agree
+
+
 def test_no_and_merged_segmenter():
     a = NoSegmenter()
     x = np.zeros((2, 16, 16, 3), np.float32)
     assert a.segment_batch(x).shape == (2, 1, 16, 16)
     m = MergedSegmenter([a, a])
+    assert not m.accepts_uint8  # NoSegmenter takes only zc floats
     out = m.segment_batch(x)
     assert out.shape == (2, 2, 16, 16)
     # reference semantics: each component's values are shifted by the

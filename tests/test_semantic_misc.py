@@ -90,6 +90,25 @@ def test_semantic_segmenter():
     assert cats == ["object"] and len(labelcats) == 5
 
 
+@pytest.mark.slow
+def test_semantic_segmenter_uint8_matches_zc_float():
+    """uint8 input (device bytes/255 -> [0,1], semantic.py
+    raw_seg_prediction) must match the host zc-float pipeline up to the
+    1-ulp round-trip rounding of the input bytes."""
+    from rewriting_tpu.utils import renormalize
+    labels = ["-", "sky", "building", "tree", "grass"]
+    seg = SemanticSegmenter(None, labels, segsizes=[64])
+    assert seg.accepts_uint8
+    rng = np.random.RandomState(12)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
+    zc = renormalize.renormalize(u8.astype(np.float32) / 255.0, "pt", "zc")
+    pred_u = np.asarray(seg.raw_seg_prediction(u8))
+    pred_f = np.asarray(seg.raw_seg_prediction(zc))
+    np.testing.assert_allclose(pred_u, pred_f, rtol=1e-3, atol=1e-4)
+    agree = (seg.segment_batch(u8) == seg.segment_batch(zc)).mean()
+    assert agree > 0.995, agree
+
+
 def test_c1_decoder_shapes():
     dec = C1Decoder(num_class=7, fc_dim=32)
     params = dec.init_params(jax.random.PRNGKey(0))
