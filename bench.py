@@ -22,6 +22,37 @@ import json
 import time
 
 
+def wait_for_backend(attempts: int = 6, probe_timeout: int = 180,
+                     retry_sleep: int = 90) -> None:
+    """Block until the TPU backend answers, probing from SUBPROCESSES.
+
+    The axon worker can be unavailable for minutes (restarts after
+    faults; observed: a client's first `jax.devices()` HANGS for 20+
+    minutes inside backend init before raising UNAVAILABLE).  Probing
+    in-process would wedge the bench, so each probe is a disposable
+    subprocess with a hard timeout; the parent only initializes its own
+    backend once a probe has succeeded.  No-op if the first probe passes.
+    """
+    import subprocess
+    import sys
+    code = "import jax; jax.devices(); print('ok')"
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            print(f"# TPU backend unavailable (probe {attempt + 1}/"
+                  f"{attempts}); retrying in {retry_sleep}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(retry_sleep)
+    # fall through: let the real init raise the backend error
+
+
 def materialize(out):
     """Force a host-visible value. block_until_ready alone is NOT a
     sufficient warmup on the axon runtime: it can return immediately
@@ -79,6 +110,8 @@ def main():
     if args.smoke:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        wait_for_backend()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")

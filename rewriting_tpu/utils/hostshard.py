@@ -36,7 +36,14 @@ def process_identity(process_index: Optional[int] = None,
         return int(process_index), int(process_count)
     try:
         import jax
-        if jax.process_count() > 1:
+        from jax._src import xla_bridge
+        # Only consult jax if a backend is ALREADY live in this process:
+        # process_count() would otherwise trigger backend initialization,
+        # which is a device dependency a pure job-sharding decision must
+        # not take (during a TPU-worker outage, init can hang 20+ min).
+        # A real multi-host jax program has initialized devices long
+        # before it shards work, so nothing is lost.
+        if xla_bridge.backends_are_initialized() and jax.process_count() > 1:
             return jax.process_index(), jax.process_count()
     except Exception:
         pass
