@@ -23,7 +23,7 @@ import time
 
 
 def wait_for_backend(attempts: int = 6, probe_timeout: int = 180,
-                     retry_sleep: int = 90) -> None:
+                     retry_sleep: int = 90) -> bool:
     """Block until the TPU backend answers, probing from SUBPROCESSES.
 
     The axon worker can be unavailable for minutes (restarts after
@@ -32,6 +32,10 @@ def wait_for_backend(attempts: int = 6, probe_timeout: int = 180,
     in-process would wedge the bench, so each probe is a disposable
     subprocess with a hard timeout; the parent only initializes its own
     backend once a probe has succeeded.  No-op if the first probe passes.
+
+    Returns True once a probe succeeds; False if every attempt failed
+    (callers fall through and let the real init raise the backend error).
+    Also a CLI: `python bench.py wait_for_backend` exits 0/1 accordingly.
     """
     import subprocess
     import sys
@@ -42,7 +46,7 @@ def wait_for_backend(attempts: int = 6, probe_timeout: int = 180,
                                timeout=probe_timeout,
                                capture_output=True, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if attempt < attempts - 1:
@@ -50,7 +54,7 @@ def wait_for_backend(attempts: int = 6, probe_timeout: int = 180,
                   f"{attempts}); retrying in {retry_sleep}s",
                   file=sys.stderr, flush=True)
             time.sleep(retry_sleep)
-    # fall through: let the real init raise the backend error
+    return False
 
 
 def materialize(out):
@@ -86,6 +90,11 @@ def timeit_distinct(fn, inputs, *args, iters=10):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", nargs="?", choices=["wait_for_backend"],
+                    help="wait_for_backend: probe until the TPU backend "
+                         "answers (bounded subprocesses), exit 0 when up "
+                         "/ 1 if still down — then quit without running "
+                         "the benchmark")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU for a fast correctness run")
     ap.add_argument("--batch", type=int, default=128,
@@ -106,6 +115,10 @@ def main():
                          "(the 256-image run + extrapolation still "
                          "reports)")
     args = ap.parse_args()
+
+    if args.cmd == "wait_for_backend":
+        import sys
+        sys.exit(0 if wait_for_backend() else 1)
 
     if args.smoke:
         import jax

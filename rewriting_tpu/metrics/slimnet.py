@@ -246,10 +246,21 @@ class SlimNetClassifier:
                  attr: int = SMILING):
         if state_dict is None:
             import torch  # CPU torch, used only as the .pth unpickler
-            state_dict = {
-                k: v.numpy() for k, v in torch.load(
-                    checkpoint, map_location="cpu",
-                    weights_only=False).items()}
+            ckpt = torch.load(checkpoint, map_location="cpu",
+                              weights_only=False)
+            # the upstream celeba_20.pth is a TRAINING checkpoint wrapper
+            # (SlimNet.load_pretrained reads model_state_dict from it);
+            # accept that, a plain {'state_dict': ...} wrapper, or a flat
+            # tensor dict.  Non-tensor entries (epoch, optimizer state)
+            # are dropped; the validating converter below still errors on
+            # any missing/extra WEIGHT key.
+            for key in ("model_state_dict", "state_dict"):
+                if isinstance(ckpt, dict) and isinstance(
+                        ckpt.get(key), dict):
+                    ckpt = ckpt[key]
+                    break
+            state_dict = {k: v.numpy() for k, v in ckpt.items()
+                          if hasattr(v, "numpy")}
         self.params = params_from_state_dict(state_dict)
         self.attr = attr
 

@@ -244,6 +244,11 @@ _COMM_JS = r"""
               if (r.done) { return; }
               recv(r.value.data);
               pump(it);
+            }, function(err) {
+              // iterator rejected (kernel restart / comm teardown):
+              // stop pumping loudly instead of leaking an unhandled
+              // rejection with a silently desynced view
+              console.warn('labwidget colab pump stopped', err);
             });
           })(comm.messages[Symbol.asyncIterator]());
         },

@@ -34,15 +34,26 @@ def process_identity(process_index: Optional[int] = None,
     must come from one of these — there is no standard count env var)."""
     if process_index is not None and process_count is not None:
         return int(process_index), int(process_count)
+    # Consult jax WITHOUT triggering backend initialization: calling
+    # jax.process_count() cold initializes the backend, which is a device
+    # dependency a pure job-sharding decision must not take (during a
+    # TPU-worker outage, backend init can hang 20+ min).  Two init-free
+    # sources, each probed independently so a private-API change in one
+    # cannot mask the other:
     try:
+        # (a) an explicit jax.distributed.initialize() (multi-host pods)
+        # records identity in the distributed client before any device use
+        from jax._src import distributed
+        if distributed.global_state.client is not None:
+            return (int(distributed.global_state.process_id),
+                    int(distributed.global_state.num_processes))
+    except Exception:
+        pass
+    try:
+        # (b) a backend that is ALREADY live in this process (implicit
+        # multi-host identity, e.g. Cloud TPU without explicit initialize)
         import jax
         from jax._src import xla_bridge
-        # Only consult jax if a backend is ALREADY live in this process:
-        # process_count() would otherwise trigger backend initialization,
-        # which is a device dependency a pure job-sharding decision must
-        # not take (during a TPU-worker outage, init can hang 20+ min).
-        # A real multi-host jax program has initialized devices long
-        # before it shards work, so nothing is lost.
         if xla_bridge.backends_are_initialized() and jax.process_count() > 1:
             return jax.process_index(), jax.process_count()
     except Exception:

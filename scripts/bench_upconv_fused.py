@@ -58,8 +58,12 @@ def main():
 
     for (res, ic, oc) in SHAPES:
         wt = jnp.asarray(rng.randn(3, 3, ic, oc), jnp.float32) * 0.05
+        # iters+1 inputs: xs[0] is burned by the exactness check below
+        # (its (program, values) pair lands in the runtime's value-level
+        # execution cache), so the timed loop uses xs[1:] — each value
+        # dispatched exactly once
         xs = [jnp.asarray(rng.randn(b, res, res, ic), jnp.float32) * 0.5
-              for _ in range(args.iters)]
+              for _ in range(args.iters + 1)]
         jax.block_until_ready(xs)
         kw = {}
         if args.th:
@@ -87,7 +91,7 @@ def main():
         fetch(xr(xs[1] + 0.01, wt))
         for name, fn in (("pallas", pk), ("xla", xr)):
             t0 = time.perf_counter()
-            outs = [fn(xs[i % len(xs)], wt) for i in range(args.iters)]
+            outs = [fn(xs[1 + i], wt) for i in range(args.iters)]
             jax.block_until_ready(outs)
             dt = (time.perf_counter() - t0) / args.iters * 1000
             gb = (b * res * res * ic + b * 4 * res * res * oc) * 4 / 1e9

@@ -111,6 +111,48 @@ def _wait_for(path, timeout=30.0, desc=""):
     raise AssertionError(f"timed out waiting for {path} {desc}")
 
 
+def test_mp_process_identity_no_backend_init(tmp_path):
+    """process_identity must (a) never trigger jax backend initialization
+    (a down TPU worker would hang it 20+ min — it wedged the DAG workers
+    once), and (b) still see a jax.distributed.initialize()'d identity,
+    which is recorded in the distributed client BEFORE any device use."""
+    code = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import jax
+jax.distributed.initialize("localhost:" + sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+t0 = time.time()
+from rewriting_tpu.utils import hostshard
+i, n = hostshard.process_identity()
+from jax._src import xla_bridge
+assert not xla_bridge.backends_are_initialized(), "identity initialized a backend"
+print("IDENTITY", i, n, round(time.time() - t0, 3))
+""" % {"repo": REPO}
+    import socket
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(port),
+                               str(pid)], stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, out
+        outs.append(out)
+    idents = set()
+    for out in outs:
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("IDENTITY")][0].split()
+        idents.add((line[1], line[2]))
+        assert float(line[3]) < 5.0, line  # instant: no backend init
+    # both hosts see the DISTRIBUTED identity, not the (0, 1) fallback
+    assert idents == {("0", "2"), ("1", "2")}, idents
+
+
 def test_mp_claim_units_each_unit_exactly_once(tmp_path):
     """3 real processes race over 12 units with pidfile locks: every unit
     completes exactly once (O_EXCL arbitration), and the work is actually
