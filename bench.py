@@ -19,6 +19,7 @@ possibility of identical-execution caching in the runtime.
 
 import argparse
 import json
+import sys
 import time
 
 
@@ -117,7 +118,6 @@ def main():
     args = ap.parse_args()
 
     if args.cmd == "wait_for_backend":
-        import sys
         sys.exit(0 if wait_for_backend() else 1)
 
     if args.smoke:
@@ -167,6 +167,25 @@ def main():
         dt = timeit_distinct(fwd, zbatches(m, b), p, nz, iters=its)
         return b / dt
 
+    # ---- the HEADLINE number first, everything else guarded: a
+    # transient remote-worker fault in a late auxiliary stage must not
+    # lose the whole bench record (the driver keeps only the JSON line)
+    img_per_sec = measure(args.precision)
+    failed_stages = []
+
+    def guarded(label, fn, fallback=None):
+        try:
+            out = fn()
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"# bench stage '{label}' failed: {e}",
+                  file=sys.stderr, flush=True)
+            failed_stages.append(label)
+            out = fallback
+        set_precision(args.precision)
+        return out
+
     # by-precision table at batch 64 (the fp32 'highest' program's temps
     # exceed v5e HBM at batch 128); the headline mode runs at --batch
     rates = {}
@@ -175,8 +194,16 @@ def main():
         else noise
     for prec in (["highest", "high", "default"] if not args.smoke
                  else [args.precision]):
-        rates[prec] = measure(prec, b=tbl_batch, nz=tbl_noise)
-    if not args.smoke:
+        if prec == args.precision and tbl_batch == batch:
+            rates[prec] = img_per_sec  # already measured as the headline
+            continue
+        r = guarded(f"precision_table[{prec}]",
+                    lambda prec=prec: measure(prec, b=tbl_batch,
+                                              nz=tbl_noise))
+        if r is not None:
+            rates[prec] = r
+
+    def _bf16_acts_rate():
         # throughput mode: bf16 activations end-to-end
         from rewriting_tpu.ops.precision import cast_pytree
         set_precision("default")
@@ -185,15 +212,19 @@ def main():
         fwd = tuned_jit(lambda z, p, n: model(p, z, n))
         zc = [z.astype(jnp.bfloat16) for z in zbatches(model, tbl_batch)]
         dt = timeit_distinct(fwd, zc, pc, nc, iters=iters)
-        rates["bf16_acts"] = tbl_batch / dt
+        return tbl_batch / dt
+    if not args.smoke:
+        r = guarded("bf16_acts", _bf16_acts_rate)
+        if r is not None:
+            rates["bf16_acts"] = r
     # ---- quality gates: every throughput mode's output deviation vs the
     # fp32 'highest' reference on the SAME z batch (VERDICT round-2 weak
     # #6: speed-quality tradeoffs measured, not asserted).  PSNR over the
     # [-1,1] image range; plus a Frechet distance in a fixed random-init
     # Inception feature space (a relative distributional delta — real-
     # Inception FID needs the gated checkpoint). ----
-    quality = {}
-    if not args.smoke:
+    def _quality_gates():
+        quality = {}
         from rewriting_tpu.ops.precision import cast_pytree as _cast
         zq = jax.random.normal(jax.random.PRNGKey(999),
                                (tbl_batch, model.z_dim))
@@ -241,10 +272,11 @@ def main():
             mu, s = stats("default" if mode == "bf16_acts" else mode, cast)
             quality[mode]["fid_rand_features"] = round(
                 calculate_frechet_distance(mu0, s0, mu, s), 4)
+        return quality
 
-    set_precision(args.precision)
-    img_per_sec = (rates[args.precision] if batch == tbl_batch
-                   else measure(args.precision))
+    quality = ({} if args.smoke
+               else guarded("quality_gates", _quality_gates, {}))
+
     n_dev = jax.device_count()
     img_per_sec_chip = img_per_sec / n_dev
 
@@ -259,16 +291,16 @@ def main():
 
     # fused-vs-unfused delta (the alternate subpixel sampling pipeline;
     # exact math, measured slower on v5e — docs/PERF_NOTES.md)
-    fused_rate = None
-    if not args.smoke:
+    def _fused_rate():
         ffwd = tuned_jit(lambda z, p, n: model(p, z, n, fused=True))
         dtf = timeit_distinct(ffwd, zbatches(model, batch), params, noise,
                               iters=iters)
-        fused_rate = batch / dtf
+        return batch / dtf
+    fused_rate = None if args.smoke else guarded("fused_rate", _fused_rate)
 
     # ---- other model scales (SURVEY §6: 512 cars, 1024 faces, ProgGAN) --
-    scales = {}
-    if not (args.smoke or args.skip_scales):
+    def _scales():
+        scales = {}
         for sz, b in ((512, 16), (1024, 8)):
             m = SeqStyleGAN2(size=sz)
             p = m.init_params(jax.random.PRNGKey(0))
@@ -281,6 +313,10 @@ def main():
         fwd = tuned_jit(lambda z, p: pg(p, z))
         dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
         scales["proggan_256_img_per_sec"] = round(64 / dt, 1)
+        return scales
+
+    scales = ({} if args.smoke or args.skip_scales
+              else guarded("model_scales", _scales, {}))
 
     # ---- rank-1 edit solve on a realistic window (layer8-style: 512ch
     # conv + noise + act). Reference default workload: 2001 Adam iters,
@@ -318,9 +354,10 @@ def main():
         times.sort()
         return times[k // 2]
 
-    edit_ms = median_ms(lambda: insert_solve(
-        window_fn, w0, (bag, params), goal_out, direction,
-        niter=edit_iters, piter=10, lr=0.05, return_timing=True)[2])
+    edit_ms = guarded("rank1_edit_solve", lambda: median_ms(
+        lambda: insert_solve(
+            window_fn, w0, (bag, params), goal_out, direction,
+            niter=edit_iters, piter=10, lr=0.05, return_timing=True)[2]))
 
     # fast low-rank-decomposed linear insert (full conv hoisted out of the
     # loop; rewrite/solve.py fast_linear_insert_solve)
@@ -343,9 +380,10 @@ def main():
     def tail_fn(p, b):
         return tail(p, b)
 
-    fast_ms = median_ms(lambda: fast_linear_insert_solve(
-        conv_fn, tail_fn, bag, params, goal_out, w0, direction, scale,
-        niter=edit_iters, use_demod=True, return_timing=True)[2])
+    fast_ms = guarded("rank1_fast_linear_solve", lambda: median_ms(
+        lambda: fast_linear_insert_solve(
+            conv_fn, tail_fn, bag, params, goal_out, w0, direction, scale,
+            niter=edit_iters, use_demod=True, return_timing=True)[2]))
 
     # ---- batched 8-edit server configuration: vmapped fast solves ----
     n_edits = 8
@@ -363,18 +401,19 @@ def main():
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     vsolve = jax.jit(jax.vmap(one, in_axes=({k: 0 for k in bags}, 0, 0)))
 
-    materialize(vsolve(bags, gouts, dirs))  # force remote residency
+    def _batched_edits():
+        materialize(vsolve(bags, gouts, dirs))  # force remote residency
 
-    def run_batched():
-        t0 = time.perf_counter()
-        jax.block_until_ready(vsolve(bags, gouts, dirs))
-        return (time.perf_counter() - t0) * 1000.0
-    batched_ms_per_edit = median_ms(run_batched) / n_edits
+        def run_batched():
+            t0 = time.perf_counter()
+            jax.block_until_ready(vsolve(bags, gouts, dirs))
+            return (time.perf_counter() - t0) * 1000.0
+        return median_ms(run_batched) / n_edits
+    batched_ms_per_edit = guarded("batched_8edit", _batched_edits)
 
     # ---- small end-to-end pipeline: sample -> save PNG -> segment ->
     # FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
-    pipeline = {}
-    if not (args.smoke or args.skip_scales):
+    def _small_pipeline():
         import shutil
         import tempfile
         from rewriting_tpu.metrics.sample import sample_clean
@@ -422,7 +461,7 @@ def main():
             compute_feature_stats(imgs, fe)
             t_fid = time.perf_counter() - t0
             total = t_sample + t_seg + t_fid
-            pipeline = {
+            return {
                 "pipeline_n_images": n_small,
                 "pipeline_sample_s": round(t_sample, 2),
                 "pipeline_segment_s": round(t_seg, 2),
@@ -439,12 +478,15 @@ def main():
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
 
+    pipeline = ({} if args.smoke or args.skip_scales
+                else guarded("small_pipeline", _small_pipeline, {}))
+
     # ---- the REAL 10k pipeline, measured (not extrapolated): the
     # reference's actual workload scale is 10,000 images per condition
     # (reference metrics/sample.py:19, seg_stats.py:13).  Same structure
     # as the reference pipeline: every stage reads the previous stage's
     # on-disk artifacts (PNGs -> per-image seg npz -> feature stats). ----
-    if not (args.smoke or args.skip_scales or args.skip_10k):
+    def _pipeline_10k():
         import os
         import shutil
         import tempfile
@@ -499,14 +541,20 @@ def main():
             compute_feature_stats(png_batches(), fe)
             t_fid10 = time.perf_counter() - t0
             total10 = t_sample10 + t_seg10 + t_fid10
-            pipeline.update({
+            return {
                 "pipeline_10k_measured_s": round(total10, 1),
                 "pipeline_10k_sample_s": round(t_sample10, 1),
                 "pipeline_10k_segment_s": round(t_seg10, 1),
                 "pipeline_10k_fid_stats_s": round(t_fid10, 1),
-            })
+            }
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
+
+    if not (args.smoke or args.skip_scales or args.skip_10k):
+        pipeline.update(guarded("pipeline_10k", _pipeline_10k, {}))
+
+    def _round(x, nd=1):
+        return None if x is None else round(x, nd)
 
     print(json.dumps({
         "metric": "stylegan2_256_sampling" if not args.smoke
@@ -524,15 +572,16 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
         "batch": batch,
         "precision": args.precision,
-        "rank1_edit_solve_ms": round(edit_ms, 1),
-        "rank1_fast_linear_solve_ms": round(fast_ms, 1),
-        "batched_8edit_ms_per_edit": round(batched_ms_per_edit, 1),
+        "rank1_edit_solve_ms": _round(edit_ms),
+        "rank1_fast_linear_solve_ms": _round(fast_ms),
+        "batched_8edit_ms_per_edit": _round(batched_ms_per_edit),
         "edit_iters": edit_iters,
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},
         "precision_quality_vs_highest": quality,
         **scales,
         **pipeline,
+        **({"failed_stages": failed_stages} if failed_stages else {}),
         "note": "vs_baseline scales the 625/chip v5p north star by this "
                 "chip's peak ratio (v5e=197 vs v5p=459 bf16 TFLOP/s); the "
                 "unnormalized ratio is also reported. 'high' is the "
