@@ -495,7 +495,7 @@ def main():
         from rewriting_tpu.segment.faceparse import BiSeNet, FaceSegmenter
         from rewriting_tpu.metrics.fid import (FeatureExtractor,
                                                compute_feature_stats)
-        from rewriting_tpu.native import read_image_rgb
+        from rewriting_tpu.native import read_batches
         n_full = 10000
         tmpd = tempfile.mkdtemp(prefix="bench_pipe10k_")
         try:
@@ -527,18 +527,14 @@ def main():
             if n_full % batch:  # the reader's tail batch is a 2nd shape
                 fe(warm[:n_full % batch])
 
-            def png_batches():
-                # uint8 straight to the device; FeatureExtractor
-                # normalizes on-chip (metrics/inception.py)
-                buf = []
-                for i in range(n_full):
-                    buf.append(read_image_rgb(
-                        os.path.join(imgd, f"{i}.png")))
-                    if len(buf) == batch or i == n_full - 1:
-                        yield np.stack(buf)
-                        buf = []
+            # uint8 straight to the device (FeatureExtractor normalizes
+            # on-chip, metrics/inception.py); decode on a readahead
+            # thread pool overlapping the device forwards
+            png_batches = read_batches(
+                [os.path.join(imgd, f"{i}.png") for i in range(n_full)],
+                batch)
             t0 = time.perf_counter()
-            compute_feature_stats(png_batches(), fe)
+            compute_feature_stats(png_batches, fe)
             t_fid10 = time.perf_counter() - t0
             total10 = t_sample10 + t_seg10 + t_fid10
             return {

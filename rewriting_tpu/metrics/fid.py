@@ -119,23 +119,19 @@ def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
 def _image_dir_batches(path: str, batch_size: int, as_uint8: bool = False):
     """Decode {path}/*.png|jpg into zc batches; with as_uint8=True yield
     raw uint8 batches (the FeatureExtractor normalizes on device — 4x
-    fewer bytes over the host link and no host-side fp32 pass)."""
+    fewer bytes over the host link and no host-side fp32 pass).  Decoding
+    runs on a readahead thread pool (native.read_batches), overlapping
+    the consumer's device work."""
     from ..utils import renormalize
     files = sorted(f for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
-    batch = []
-    from ..native import read_image_rgb
-    for f in files:
-        img = read_image_rgb(os.path.join(path, f))
+    from ..native import read_batches
+    for batch in read_batches([os.path.join(path, f) for f in files],
+                              batch_size):
         if not as_uint8:
-            img = renormalize.renormalize(
-                img.astype(np.float32) / 255.0, "pt", "zc")
-        batch.append(img)
-        if len(batch) == batch_size:
-            yield np.stack(batch)
-            batch = []
-    if batch:
-        yield np.stack(batch)
+            batch = renormalize.renormalize(
+                batch.astype(np.float32) / 255.0, "pt", "zc")
+        yield batch
 
 
 def compute_fid(a, b, feature_fn: Optional[Callable] = None,

@@ -30,15 +30,16 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
     """Segment {img_path}/{i}.png -> {result_path}/{i}.npz
     (reference seg_stats.py:16-27).
 
-    Pipelined driver: segmenters exposing `segment_batch_device` (uint8
-    in, async device uint8 labels out) get a two-in-flight schedule —
-    batch i's label fetch and batch i+1's PNG decode overlap batch i+1's
-    device compute, and only ~1/24 the bytes of the naive fp32/int64
-    round-trip cross the host link."""
+    Pipelined driver: PNGs are decoded by a readahead THREAD pool
+    (native.read_batches — the ctypes inflate releases the GIL, so
+    decode parallelizes AND overlaps device compute), and segmenters
+    exposing `segment_batch_device` (uint8 in, async device uint8 labels
+    out) get a two-in-flight schedule — batch i's label fetch overlaps
+    batch i+1's device compute.  Only ~1/24 the bytes of the naive
+    fp32/int64 round-trip cross the host link."""
     os.makedirs(result_path, exist_ok=True)
     saver = SaveSegPool()
     device_path = hasattr(segmodel, "segment_batch_device")
-    batch, nums = [], []
     pending = None  # (nums, un-fetched device labels)
 
     def fetch(pending):
@@ -46,15 +47,19 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
         for num, seg in zip(pnums, np.asarray(dev)):
             saver.add(os.path.join(result_path, f"{num}.npz"), seg)
 
-    def flush():
-        nonlocal pending
-        if not batch:
-            return
-        if len(batch) < batch_size:
+    from ..native import read_batches
+    paths = [os.path.join(img_path, f"{i}.png") for i in range(n)]
+    start = 0
+    for imgs in pbar.pbar(read_batches(paths, batch_size),
+                          total=(n + batch_size - 1) // batch_size):
+        nums = list(range(start, start + imgs.shape[0]))
+        start += imgs.shape[0]
+        if imgs.shape[0] < batch_size:
             # pad the tail batch to keep one compiled shape (the fetch's
             # zip against nums drops the padded rows)
-            batch.extend(batch[-1:] * (batch_size - len(batch)))
-        imgs = np.stack(batch)  # uint8 (B,H,W,3)
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch_size - imgs.shape[0],
+                                 axis=0)], axis=0)
         if device_path:
             dev = segmodel.segment_batch_device(imgs)
         elif getattr(segmodel, "accepts_uint8", False):
@@ -65,17 +70,7 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
                 imgs.astype(np.float32) / 255.0, "pt", "zc"))
         if pending is not None:
             fetch(pending)  # blocks on batch i while i+1 computes
-        pending = (list(nums), dev)
-        batch.clear()
-        nums.clear()
-
-    from ..native import read_image_rgb
-    for i in pbar.pbar(range(n)):
-        batch.append(read_image_rgb(os.path.join(img_path, f"{i}.png")))
-        nums.append(i)
-        if len(batch) == batch_size:
-            flush()
-    flush()
+        pending = (nums, dev)
     if pending is not None:
         fetch(pending)
     saver.join()

@@ -178,3 +178,43 @@ def read_image_rgb(path: str):
     import io
     import PIL.Image
     return np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def read_batches(paths, batch_size: int, workers: int = None,
+                 readahead: int = 2):
+    """Yield (B, H, W, 3) uint8 batches of the given image files, decoded
+    by a THREAD pool with a bounded readahead window.  The ctypes decode
+    call releases the GIL, so two distinct wins compose:
+    - multi-core hosts inflate PNGs truly in parallel (workers scale);
+    - even on ONE core, readahead decode overlaps the time the consumer
+      spends blocked in device upload/fetch (GIL released there too) —
+      measured 1.8x on this image's single-CPU host with a blocking
+      consumer, decode fully hidden.
+    Order is preserved; the final batch carries the remainder (may be
+    smaller than batch_size).
+
+    This is the host-side half of the streaming metric drivers
+    (metrics/seg_stats, metrics/fid, bench 10k pipeline): main-thread
+    decode at ~2 ms/img was their measured bottleneck once transfers
+    went uint8 (docs/PERF_NOTES.md round 3)."""
+    import concurrent.futures as cf
+    from collections import deque
+    paths = list(paths)
+    if not paths:
+        return
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    window = max(batch_size * (readahead + 1), workers)
+    with cf.ThreadPoolExecutor(workers) as ex:
+        futs = deque(ex.submit(read_image_rgb, p)
+                     for p in paths[:window])
+        nxt = window
+        batch = []
+        while futs:
+            batch.append(futs.popleft().result())
+            if nxt < len(paths):
+                futs.append(ex.submit(read_image_rgb, paths[nxt]))
+                nxt += 1
+            if len(batch) == batch_size or not futs:
+                yield np.stack(batch)
+                batch = []

@@ -315,6 +315,38 @@ def test_native_png_decoder_parity(tmp_path):
     np.testing.assert_array_equal(read_image_rgb(str(p)), want)
 
 
+def test_read_batches_threaded_reader(tmp_path):
+    """native.read_batches (the streaming drivers' thread-pool decode):
+    order-preserving, batch-shaped, tail-carrying, and byte-identical to
+    per-file read_image_rgb."""
+    import PIL.Image
+    from rewriting_tpu.native import read_batches, read_image_rgb
+    rng = np.random.RandomState(0)
+    n, bs = 23, 8  # deliberately non-multiple: tail batch of 7
+    paths = []
+    imgs = []
+    for i in range(n):
+        img = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        p = tmp_path / f"{i}.png"
+        PIL.Image.fromarray(img).save(p)
+        paths.append(str(p))
+        imgs.append(img)
+    batches = list(read_batches(paths, bs, workers=4, readahead=2))
+    assert [b.shape[0] for b in batches] == [8, 8, 7]
+    got = np.concatenate(batches)
+    np.testing.assert_array_equal(got, np.stack(imgs))
+    for b in batches:
+        assert b.dtype == np.uint8 and b.shape[1:] == (16, 16, 3)
+    # parity with the single-file reader (shared decode path)
+    np.testing.assert_array_equal(batches[0][0], read_image_rgb(paths[0]))
+    # empty input -> no batches, no hang
+    assert list(read_batches([], bs)) == []
+    # abandoning the generator mid-stream must not leak/hang the pool
+    gen = read_batches(paths, bs, workers=2)
+    next(gen)
+    gen.close()
+
+
 def test_bench_smoke_driver_contract():
     """The driver parses bench.py's LAST stdout line as one JSON object
     with metric/value/unit/vs_baseline keys — pin that contract."""
