@@ -34,20 +34,20 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
     (native.read_batches — the ctypes inflate releases the GIL, so
     decode parallelizes AND overlaps device compute), and segmenters
     exposing `segment_batch_device` (uint8 in, async device uint8 labels
-    out) get a two-in-flight schedule — batch i's label fetch overlaps
-    batch i+1's device compute.  Only ~1/24 the bytes of the naive
-    fp32/int64 round-trip cross the host link."""
+    out) have their label downloads overlapped on a bounded multi-stream
+    fetcher (utils/fetcher.py) while later batches compute.  Only ~1/24
+    the bytes of the naive fp32/int64 round-trip cross the host link."""
     os.makedirs(result_path, exist_ok=True)
     saver = SaveSegPool()
     device_path = hasattr(segmodel, "segment_batch_device")
-    pending = None  # (nums, un-fetched device labels)
 
-    def fetch(pending):
-        pnums, dev = pending
-        for num, seg in zip(pnums, np.asarray(dev)):
+    def write(nums, labels):
+        for num, seg in zip(nums, labels):
             saver.add(os.path.join(result_path, f"{num}.npz"), seg)
 
     from ..native import read_batches
+    from ..utils.fetcher import AsyncFetcher
+    fetcher = AsyncFetcher(write, streams=2, window=3)
     paths = [os.path.join(img_path, f"{i}.png") for i in range(n)]
     start = 0
     for imgs in pbar.pbar(read_batches(paths, batch_size),
@@ -68,11 +68,8 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
         else:  # duck-typed segmenters take zc float batches
             dev = segmodel.segment_batch(renormalize.renormalize(
                 imgs.astype(np.float32) / 255.0, "pt", "zc"))
-        if pending is not None:
-            fetch(pending)  # blocks on batch i while i+1 computes
-        pending = (nums, dev)
-    if pending is not None:
-        fetch(pending)
+        fetcher.submit(nums, dev)
+    fetcher.close()
     saver.join()
 
 

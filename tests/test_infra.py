@@ -398,3 +398,66 @@ def test_orbax_params_roundtrip(tmp_path):
     assert len(w.sharding.device_set) == 4
     out = model(sharded, jnp.zeros((1, model.z_dim)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_async_fetcher_order_window_and_errors():
+    """utils.fetcher.AsyncFetcher (the drivers' multi-stream device->host
+    download): delivers (tag, array) pairs in submission order regardless
+    of stream count, bounds the in-flight window, drains on close, and
+    propagates a failed fetch to the submitting thread."""
+    import threading
+
+    from rewriting_tpu.utils.fetcher import AsyncFetcher
+
+    got = []
+    in_flight_high = 0
+    lock = threading.Lock()
+
+    class Probe:
+        """Array-like whose np.asarray conversion records concurrency."""
+
+        def __init__(self, i, delay):
+            self.i, self.delay = i, delay
+
+        def __array__(self, dtype=None, copy=None):
+            nonlocal in_flight_high
+            import time as _t
+            with lock:
+                Probe.live += 1
+                in_flight_high = max(in_flight_high, Probe.live)
+            _t.sleep(self.delay)
+            with lock:
+                Probe.live -= 1
+            return np.full((2, 2), self.i, np.int32)
+
+    Probe.live = 0
+    with AsyncFetcher(lambda tag, arr: got.append((tag, int(arr[0, 0]))),
+                      streams=3, window=2) as f:
+        # reversed delays: later submissions finish first; order must hold
+        for i in range(8):
+            f.submit(i, Probe(i, delay=0.02 * (8 - i) / 8))
+    assert got == [(i, i) for i in range(8)]
+    assert in_flight_high >= 2  # fetches genuinely overlapped
+    # window bound: never more than window+1 submitted-but-unconsumed
+    # (submit blocks by draining the oldest once the window is full)
+
+    class Boom:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("link down")
+
+    f2 = AsyncFetcher(lambda tag, arr: None, streams=2, window=1)
+    f2.submit(0, Boom())
+    try:
+        f2.drain()
+        raise AssertionError("fetch error was swallowed")
+    except RuntimeError as e:
+        assert "link down" in str(e)
+    finally:
+        f2._futs.clear()
+        f2.close()
+
+    # plain numpy passthrough (CPU jax arrays in tests hit this path)
+    outs = []
+    with AsyncFetcher(lambda t, a: outs.append(a.sum()), streams=1) as f3:
+        f3.submit("a", np.ones((3,)))
+    assert outs == [3.0]
