@@ -82,3 +82,51 @@ def coordinate_sample(shape, sample_size, seeds, grid=13, seed=1,
         else:
             sampind[j] = coords
     return sampind
+
+
+def subsample_folder(indir: str, outdir: str, size: int = 100,
+                     seed: int = 1):
+    """Copy a seeded random subset of the images under indir into a flat
+    outdir, deduplicating basenames with _N suffixes (the reference's
+    ``python -m utils.sampler indir outdir --size N`` utility,
+    sampler.py:109-147).  Returns the copied filenames."""
+    import os
+    import shutil
+    from .parallelfolder import ParallelImageFolders
+
+    if os.path.exists(outdir):
+        raise FileExistsError(f"{outdir} already exists")
+    os.makedirs(outdir)
+    dataset = ParallelImageFolders([indir])
+    sampler = FixedRandomSubsetSampler(dataset, end=size, seed=seed)
+    seen, copied = set(), []
+    for i in sampler.dereference(range(min(size, len(sampler)))):
+        sourcefile = dataset.images[i][0]
+        filename = os.path.basename(sourcefile)
+        stem, ext = os.path.splitext(filename)
+        num = 0
+        while filename in seen:
+            num += 1
+            filename = f"{stem}_{num}{ext}"
+        seen.add(filename)
+        shutil.copy(sourcefile, os.path.join(outdir, filename))
+        copied.append(filename)
+    return copied
+
+
+def main():  # pragma: no cover - CLI (reference sampler.py:109-147)
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="copy a seeded random subset of an image folder",
+        prog=f"python -m {__package__}.sampler")
+    parser.add_argument("indir")
+    parser.add_argument("outdir")
+    parser.add_argument("--size", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args()
+    copied = subsample_folder(args.indir, args.outdir, args.size, args.seed)
+    print(f"copied {len(copied)} images to {args.outdir}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
