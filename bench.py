@@ -177,6 +177,11 @@ def main():
         try:
             out = fn()
         except Exception as e:
+            if args.smoke:
+                # the CPU smoke run is deterministic: a stage failure is
+                # a code bug, not tunnel weather — fail loudly so CI
+                # can't stay green on a null metric
+                raise
             import traceback
             traceback.print_exc()
             print(f"# bench stage '{label}' failed: {e}",

@@ -36,10 +36,17 @@ def plot_patch_fids(results: Dict[str, Dict[int, float]], out_png: str,
     import matplotlib.pyplot as plt
 
     if by_layer:
+        def layer_num(label):
+            digits = "".join(ch for ch in str(label) if ch.isdigit())
+            if not digits:
+                raise ValueError(
+                    f"--by_layer needs a layer number in each curve "
+                    f"label (e.g. 'layer8' or --labels 8); got {label!r}")
+            return int(digits)
         transposed: Dict[str, Dict[int, float]] = {}
         for label, curve in results.items():
             for x, v in curve.items():
-                transposed.setdefault(f"crop {x}", {})[int(label)] = v
+                transposed.setdefault(f"crop {x}", {})[layer_num(label)] = v
         results, xlabel = transposed, "Layer number"
 
     fig, ax = plt.subplots()

@@ -85,16 +85,19 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
     # before batch i's fetch is consumed, so chip, link, and the PNG
     # encode workers all stay busy.
     from ..utils.fetcher import AsyncFetcher
-    with AsyncFetcher(write, streams=2, window=3) as fetcher:
-        for lo in pbar.pbar(range(0, n, batch_size)):
-            nums = list(range(lo, min(lo + batch_size, n)))
-            zs = per_image_z(model, [i + offset for i in nums])
-            if len(zs) < batch_size:  # keep one compiled shape
-                pad = batch_size - len(zs)
-                zs = np.concatenate(
-                    [zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
-            fetcher.submit(nums, quantize(sample_fn(params, zs))[:len(nums)])
-    saver.join()
+    try:
+        with AsyncFetcher(write, streams=2, window=3) as fetcher:
+            for lo in pbar.pbar(range(0, n, batch_size)):
+                nums = list(range(lo, min(lo + batch_size, n)))
+                zs = per_image_z(model, [i + offset for i in nums])
+                if len(zs) < batch_size:  # keep one compiled shape
+                    pad = batch_size - len(zs)
+                    zs = np.concatenate(
+                        [zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
+                fetcher.submit(
+                    nums, quantize(sample_fn(params, zs))[:len(nums)])
+    finally:
+        saver.close()  # flushes queued writes; idempotent
 
 
 def main():  # pragma: no cover - CLI (reference sample.py:13-38)

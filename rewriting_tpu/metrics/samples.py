@@ -17,8 +17,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..utils import pbar
-
-IMAGE_EXTENSIONS = (".png", ".webp", ".jpg", ".jpeg")
+from ..utils.parallelfolder import walk_image_files
 
 
 def get_image_paths(root: str, n: Optional[int] = None,
@@ -37,11 +36,7 @@ def get_image_paths(root: str, n: Optional[int] = None,
             all_files = [os.path.join(root, line.strip())
                          for line in f if line.strip()]
     else:
-        all_files = []
-        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
-            for fn in sorted(filenames):
-                if fn.lower().endswith(IMAGE_EXTENSIONS):
-                    all_files.append(os.path.join(dirpath, fn))
+        all_files = walk_image_files(root)
     random.Random(seed).shuffle(all_files)
     return all_files if n is None else all_files[:n]
 

@@ -47,30 +47,35 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
 
     from ..native import read_batches
     from ..utils.fetcher import AsyncFetcher
-    fetcher = AsyncFetcher(write, streams=2, window=3)
     paths = [os.path.join(img_path, f"{i}.png") for i in range(n)]
-    start = 0
-    for imgs in pbar.pbar(read_batches(paths, batch_size),
-                          total=(n + batch_size - 1) // batch_size):
-        nums = list(range(start, start + imgs.shape[0]))
-        start += imgs.shape[0]
-        if imgs.shape[0] < batch_size:
-            # pad the tail batch to keep one compiled shape (the fetch's
-            # zip against nums drops the padded rows)
-            imgs = np.concatenate(
-                [imgs, np.repeat(imgs[-1:], batch_size - imgs.shape[0],
-                                 axis=0)], axis=0)
-        if device_path:
-            dev = segmodel.segment_batch_device(imgs)
-        elif getattr(segmodel, "accepts_uint8", False):
-            # device-side normalize (segmenter raw_seg_prediction)
-            dev = segmodel.segment_batch(imgs)
-        else:  # duck-typed segmenters take zc float batches
-            dev = segmodel.segment_batch(renormalize.renormalize(
-                imgs.astype(np.float32) / 255.0, "pt", "zc"))
-        fetcher.submit(nums, dev)
-    fetcher.close()
-    saver.join()
+    try:
+        # the with-block aborts (not drains) the fetcher on exception so
+        # a faulted device can't hang the exit or leave orphaned fetch
+        # threads contending the host link
+        with AsyncFetcher(write, streams=2, window=3) as fetcher:
+            start = 0
+            for imgs in pbar.pbar(read_batches(paths, batch_size),
+                                  total=(n + batch_size - 1) // batch_size):
+                nums = list(range(start, start + imgs.shape[0]))
+                start += imgs.shape[0]
+                if imgs.shape[0] < batch_size:
+                    # pad the tail batch to keep one compiled shape (the
+                    # fetch's zip against nums drops the padded rows)
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:],
+                                         batch_size - imgs.shape[0],
+                                         axis=0)], axis=0)
+                if device_path:
+                    dev = segmodel.segment_batch_device(imgs)
+                elif getattr(segmodel, "accepts_uint8", False):
+                    # device-side normalize (segmenter raw_seg_prediction)
+                    dev = segmodel.segment_batch(imgs)
+                else:  # duck-typed segmenters take zc float batches
+                    dev = segmodel.segment_batch(renormalize.renormalize(
+                        imgs.astype(np.float32) / 255.0, "pt", "zc"))
+                fetcher.submit(nums, dev)
+    finally:
+        saver.close()  # flushes queued writes; idempotent
 
 
 def main():  # pragma: no cover - CLI (reference seg_stats.py:41-58)

@@ -68,8 +68,19 @@ class AsyncFetcher:
         finally:
             self._pool.shutdown(wait=True)
 
+    def abort(self) -> None:
+        """Tear down WITHOUT consuming in-flight work — the error-path
+        close.  Draining through a faulted device can block forever and
+        orphaned fetch threads contend the host link for whatever runs
+        next; dropping the pending futures releases both."""
+        self._futs.clear()
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()

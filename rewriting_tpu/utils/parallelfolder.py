@@ -16,16 +16,31 @@ from typing import Callable, List, Optional, Sequence, Tuple, Union
 IMAGE_EXTENSIONS = (".png", ".webp", ".jpg", ".jpeg", ".bmp", ".gif")
 
 
-def _walk_images(root: str) -> dict:
-    """{relative stem: full path} for every image under root."""
-    out = {}
+def walk_image_files(root: str):
+    """Sorted image paths under root (the single tree-walker shared with
+    metrics/samples.py so one extension list governs both)."""
     root = os.path.expanduser(root)
+    out = []
     for dirpath, _dirnames, filenames in sorted(os.walk(root)):
         for fn in sorted(filenames):
-            stem, ext = os.path.splitext(fn)
-            if ext.lower() in IMAGE_EXTENSIONS:
-                rel = os.path.relpath(os.path.join(dirpath, stem), root)
-                out[rel] = os.path.join(dirpath, fn)
+            if fn.lower().endswith(IMAGE_EXTENSIONS):
+                out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def _walk_images(root: str) -> dict:
+    """{relative stem: full path} for every image under root.  Two files
+    differing only by extension would silently shadow each other in the
+    stem key space — that's an error here, not a quiet drop."""
+    out = {}
+    root = os.path.expanduser(root)
+    for path in walk_image_files(root):
+        rel = os.path.relpath(os.path.splitext(path)[0], root)
+        if rel in out:
+            raise ValueError(
+                f"ambiguous stem {rel!r} under {root}: "
+                f"{out[rel]} vs {path}")
+        out[rel] = path
     return out
 
 

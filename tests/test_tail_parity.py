@@ -167,6 +167,14 @@ def test_plot_patch_fids(tmp_path):
     out2 = plot_patch_fids({"6": {16: 4.0}, "8": {16: 2.0}},
                            str(tmp_path / "by_layer.png"), by_layer=True)
     assert os.path.exists(out2)
+    # file-stem labels like 'layer8' carry the layer number; a label
+    # with no digits is a clear error, not an int() crash
+    out3 = plot_patch_fids({"layer6": {16: 4.0}},
+                           str(tmp_path / "stems.png"), by_layer=True)
+    assert os.path.exists(out3)
+    with pytest.raises(ValueError):
+        plot_patch_fids({"church": {16: 4.0}},
+                        str(tmp_path / "bad.png"), by_layer=True)
     # CLI loader roundtrip
     from rewriting_tpu.metrics.plot_patch_fids import _load
     p = tmp_path / "r.json"
@@ -213,6 +221,33 @@ def test_parallel_image_folders(tmp_path):
     with pytest.raises(ValueError):
         ParallelImageFolders([os.path.join(ds_root, "img"),
                               os.path.join(ds_root, "seg")])
+    # same stem with two extensions is ambiguous, not a silent drop
+    import PIL.Image
+    PIL.Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+        str(tmp_path / "segds" / "img" / "extra.jpg"))
+    with pytest.raises(ValueError, match="ambiguous stem"):
+        ParallelImageFolders([os.path.join(ds_root, "img")])
+
+
+def test_async_fetcher_abort_on_exception():
+    """Exception inside the with-block must abort (no draining through a
+    possibly-faulted device) instead of consuming pending fetches."""
+    from rewriting_tpu.utils.fetcher import AsyncFetcher
+    consumed = []
+    with pytest.raises(RuntimeError):
+        with AsyncFetcher(lambda tag, arr: consumed.append(tag),
+                          streams=1, window=4) as f:
+            f.submit("a", np.zeros(3))
+            f.submit("b", np.zeros(3))
+            raise RuntimeError("device fault")
+    assert consumed == []
+    assert not f._futs
+    # and the success path still drains in order
+    with AsyncFetcher(lambda tag, arr: consumed.append(tag),
+                      streams=1, window=1) as f:
+        f.submit("a", np.zeros(3))
+        f.submit("b", np.zeros(3))
+    assert consumed == ["a", "b"]
 
 
 def test_multisegment_dataset(tmp_path):
