@@ -31,6 +31,32 @@ def per_image_z(model, imgnums) -> np.ndarray:
                      for i in imgnums])
 
 
+_quantize_jit = None
+
+
+def quantize_uint8(imgs):
+    """zc float batch -> uint8 ON DEVICE (4x fewer bytes over the host
+    link).  Round-trip-equivalent with renormalize.renormalize(x, "zc",
+    "byte"): the same fp32 scale/offset (0.5 / float32(1/255) != 127.5
+    exactly) and truncating cast (floor == numpy's astype(uint8) for
+    non-negatives).  Byte-exact on backends that round clip(x)*s+s in two
+    steps (CPU, current TPU); a backend that emits a fused FMA can differ
+    by 1 LSB at integer boundaries."""
+    global _quantize_jit
+    if _quantize_jit is None:
+        import jax
+        import jax.numpy as jnp
+        scale = np.float32(0.5) / np.float32(1.0 / 255.0)
+
+        @jax.jit
+        def q(x):
+            y = jnp.clip(x, -1.0, 1.0) * scale + scale
+            return jnp.floor(jnp.clip(y, 0.0, 255.0)).astype(jnp.uint8)
+
+        _quantize_jit = q
+    return _quantize_jit(imgs)
+
+
 def sample_clean(model, params, outdir: str, n: int = 10000,
                  batch_size: int = 16, offset: int = 0,
                  sample_fn=None, mesh=None) -> None:
@@ -52,25 +78,11 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
     elif sample_fn is None:
         from ..ops.jitopts import tuned_jit
         sample_fn = tuned_jit(lambda p, z: model(p, z))
-    # Quantize to uint8 ON DEVICE (4x fewer bytes over the host link) with
-    # floor to reproduce renormalize's numpy truncation bit-exactly, and
-    # pipeline the host copy of batch i against device compute of batch
-    # i+1 (a blocking np.asarray right after dispatch would serialize the
-    # link with the chip).
-    import jax.numpy as jnp
-
-    # round-trip-equivalent with renormalize.renormalize(x, "zc", "byte"):
-    # the same fp32 scale/offset (0.5 / float32(1/255) != 127.5 exactly)
-    # and truncating cast (floor == numpy's astype(uint8) for
-    # non-negatives).  Byte-exact on backends that round clip(x)*s+s in
-    # two steps (CPU, current TPU); a backend that emits a fused FMA can
-    # differ by 1 LSB at integer boundaries.
-    scale = np.float32(0.5) / np.float32(1.0 / 255.0)
-
-    @jax.jit
-    def quantize(imgs):
-        y = jnp.clip(imgs, -1.0, 1.0) * scale + scale
-        return jnp.floor(jnp.clip(y, 0.0, 255.0)).astype(jnp.uint8)
+    # Quantize to uint8 ON DEVICE (quantize_uint8 above) and pipeline the
+    # host copy of batch i against device compute of batch i+1 (a
+    # blocking np.asarray right after dispatch would serialize the link
+    # with the chip).
+    quantize = quantize_uint8
 
     saver = SaveImagePool()
 
