@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map            # jax >= 0.8
+except ImportError:                      # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def gpipe(stage_fn: Callable, stacked_params, x, mesh: Mesh,
@@ -68,8 +72,16 @@ def gpipe(stage_fn: Callable, stacked_params, x, mesh: Mesh,
             nxt = lax.ppermute(out, axis, perm)
             return (nxt, acc), None
 
-        acc0 = jnp.zeros_like(micro)
-        (_, acc), _ = lax.scan(tick, (jnp.zeros_like(micro[0]), acc0),
+        # the carry is device-varying (each device holds its own in-flight
+        # microbatch); mark the zero-init as such for the scan vma check
+        def vary(a):
+            try:
+                return lax.pcast(a, to="varying")
+            except (AttributeError, TypeError):  # pragma: no cover
+                return lax.pvary(a, axis)
+        acc0 = vary(jnp.zeros_like(micro))
+        buf0 = vary(jnp.zeros_like(micro[0]))
+        (_, acc), _ = lax.scan(tick, (buf0, acc0),
                                jnp.arange(M + S - 1))
         # only the last device banked real outputs; replicate them
         acc = lax.psum(jnp.where(idx == S - 1, acc, jnp.zeros_like(acc)),
