@@ -123,8 +123,18 @@ def _image_dir_batches(path: str, batch_size: int, as_uint8: bool = False):
     runs on a readahead thread pool (native.read_batches), overlapping
     the consumer's device work."""
     from ..utils import renormalize
-    files = sorted(f for f in os.listdir(path)
-                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+
+    def key(f):
+        # numeric stems ({imgnum}.png, the sample_clean artifact layout)
+        # sort numerically so streamed batch partitions match generation
+        # order (fused_pipeline's stats are then bit-identical, not just
+        # fp-close, to the staged re-read — same Chan-update order)
+        stem = os.path.splitext(f)[0]
+        return (0, int(stem), f) if stem.isdigit() else (1, 0, f)
+
+    files = sorted((f for f in os.listdir(path)
+                    if f.lower().endswith((".png", ".jpg", ".jpeg"))),
+                   key=key)
     from ..native import read_batches
     for batch in read_batches([os.path.join(path, f) for f in files],
                               batch_size):

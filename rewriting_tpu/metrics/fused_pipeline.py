@@ -30,7 +30,6 @@ FID features from the same uint8 values the staged FID pass re-uploads
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
 
 import numpy as np
@@ -56,20 +55,27 @@ def run_fused(model, params, outdir: str, segmodel=None, feature_fn=None,
     (seg_correct_mod, distances, fid comparisons) consume either."""
     import jax.numpy as jnp
 
-    os.makedirs(outdir, exist_ok=True)
-    lightbox = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "utils", "lightbox.html")
-    shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
+    from .sample import default_sample_fn, pad_batch, write_lightbox
+
+    write_lightbox(outdir)
     if sample_fn is None:
-        from ..ops.jitopts import tuned_jit
-        sample_fn = tuned_jit(lambda p, z: model(p, z))
+        sample_fn = default_sample_fn(model)
+    seg_device = hasattr(segmodel, "segment_batch_device")
     if segmodel is not None:
         seg_dir = seg_dir or os.path.join(outdir, "seg")
         os.makedirs(seg_dir, exist_ok=True)
+        if seg_downsample != 1 and not seg_device:
+            raise ValueError(
+                "seg_downsample requires a segmenter with "
+                "segment_batch_device (the fallback segment_batch "
+                "contract has no downsample argument)")
     cov = None
+    dev_feature_fn = None
     if feature_fn is not None:
         from ..stats.running import RunningCovariance
         cov = RunningCovariance()
+        # same plain-callable tolerance as fid.compute_feature_stats
+        dev_feature_fn = getattr(feature_fn, "device_features", feature_fn)
 
     img_saver = SaveImagePool()
     seg_saver = SaveSegPool() if segmodel is not None else None
@@ -88,23 +94,30 @@ def run_fused(model, params, outdir: str, segmodel=None, feature_fn=None,
             for lo in pbar.pbar(range(0, n, batch_size),
                                 desc="fused pipeline"):
                 nums = list(range(lo, min(lo + batch_size, n)))
-                zs = per_image_z(model, [i + offset for i in nums])
-                if len(zs) < batch_size:  # keep one compiled shape
-                    pad = batch_size - len(zs)
-                    zs = np.concatenate(
-                        [zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
+                zs = pad_batch(per_image_z(model,
+                                           [i + offset for i in nums]),
+                               batch_size)
                 imgs = quantize_uint8(sample_fn(params, zs))
                 fetcher.submit(("img", nums), imgs[:len(nums)])
                 if segmodel is not None:
-                    if hasattr(segmodel, "segment_batch_device"):
+                    # same three-way dispatch as seg_stats.process so
+                    # the label artifacts match the staged driver
+                    if seg_device:
                         labels = segmodel.segment_batch_device(
                             imgs, downsample=seg_downsample)
-                    else:  # duck-typed: jit-wrapped segment_batch
+                    elif getattr(segmodel, "accepts_uint8", False):
                         labels = segmodel.segment_batch(imgs)
-                    fetcher.submit(("seg", nums),
-                                   jnp.asarray(labels)[:len(nums)])
+                    else:  # duck-typed segmenters take zc float batches
+                        from ..utils import renormalize
+                        labels = segmodel.segment_batch(
+                            renormalize.renormalize(
+                                np.asarray(imgs).astype(np.float32)
+                                / 255.0, "pt", "zc"))
+                    # device labels fetch async below; host labels pass
+                    # through np.asarray as a no-op — never re-uploaded
+                    fetcher.submit(("seg", nums), labels[:len(nums)])
                 if cov is not None:
-                    feats = feature_fn.device_features(imgs)
+                    feats = dev_feature_fn(imgs)
                     cov.add(jnp.asarray(feats)[:len(nums)])
     finally:
         img_saver.close()

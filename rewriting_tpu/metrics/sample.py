@@ -31,6 +31,33 @@ def per_image_z(model, imgnums) -> np.ndarray:
                      for i in imgnums])
 
 
+def write_lightbox(outdir: str) -> None:
+    """Create outdir and drop the +lightbox.html gallery page next to the
+    numbered PNGs (reference sample.py copies lightbox alongside)."""
+    os.makedirs(outdir, exist_ok=True)
+    lightbox = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "utils", "lightbox.html")
+    shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
+
+
+def pad_batch(arr: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad a tail batch to batch_size rows by repeating the last row, so
+    every dispatch keeps ONE compiled shape (padded rows are dropped by
+    the consumer's zip against the true image numbers)."""
+    if arr.shape[0] >= batch_size:
+        return arr
+    return np.concatenate(
+        [arr, np.repeat(arr[-1:], batch_size - arr.shape[0], axis=0)],
+        axis=0)
+
+
+def default_sample_fn(model):
+    """The standard jitted (params, z) -> images dispatch the staged and
+    fused drivers share."""
+    from ..ops.jitopts import tuned_jit
+    return tuned_jit(lambda p, z: model(p, z))
+
+
 _quantize_jit = None
 
 
@@ -64,10 +91,7 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
     generation is data-parallel over the device mesh (z sharded on the
     batch axis; batch_size should be a multiple of the mesh size)."""
     import jax
-    os.makedirs(outdir, exist_ok=True)
-    lightbox = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "utils", "lightbox.html")
-    shutil.copyfile(lightbox, os.path.join(outdir, "+lightbox.html"))
+    write_lightbox(outdir)
     if sample_fn is None and mesh is not None:
         import jax.numpy as jnp
         from ..parallel import shard_batch, sharded_sampler
@@ -76,8 +100,7 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
         def sample_fn(p, z):
             return sharded(p, shard_batch(jnp.asarray(z), mesh))
     elif sample_fn is None:
-        from ..ops.jitopts import tuned_jit
-        sample_fn = tuned_jit(lambda p, z: model(p, z))
+        sample_fn = default_sample_fn(model)
     # Quantize to uint8 ON DEVICE (quantize_uint8 above) and pipeline the
     # host copy of batch i against device compute of batch i+1 (a
     # blocking np.asarray right after dispatch would serialize the link
@@ -101,11 +124,9 @@ def sample_clean(model, params, outdir: str, n: int = 10000,
         with AsyncFetcher(write, streams=2, window=3) as fetcher:
             for lo in pbar.pbar(range(0, n, batch_size)):
                 nums = list(range(lo, min(lo + batch_size, n)))
-                zs = per_image_z(model, [i + offset for i in nums])
-                if len(zs) < batch_size:  # keep one compiled shape
-                    pad = batch_size - len(zs)
-                    zs = np.concatenate(
-                        [zs, np.zeros_like(zs[:1]).repeat(pad, 0)])
+                zs = pad_batch(per_image_z(model,
+                                           [i + offset for i in nums]),
+                               batch_size)
                 fetcher.submit(
                     nums, quantize(sample_fn(params, zs))[:len(nums)])
     finally:

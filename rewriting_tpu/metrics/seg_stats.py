@@ -11,6 +11,7 @@ import numpy as np
 from ..utils import pbar, renormalize
 from ..utils.pidfile import mark_job_done, reserve_dir
 from ..utils.workerpool import WorkerBase, WorkerPool
+from .sample import pad_batch
 
 
 class SaveSegWorker(WorkerBase):
@@ -58,13 +59,7 @@ def process(segmodel, img_path: str, result_path: str, n: int = 10000,
                                   total=(n + batch_size - 1) // batch_size):
                 nums = list(range(start, start + imgs.shape[0]))
                 start += imgs.shape[0]
-                if imgs.shape[0] < batch_size:
-                    # pad the tail batch to keep one compiled shape (the
-                    # fetch's zip against nums drops the padded rows)
-                    imgs = np.concatenate(
-                        [imgs, np.repeat(imgs[-1:],
-                                         batch_size - imgs.shape[0],
-                                         axis=0)], axis=0)
+                imgs = pad_batch(imgs, batch_size)
                 if device_path:
                     dev = segmodel.segment_batch_device(imgs)
                 elif getattr(segmodel, "accepts_uint8", False):

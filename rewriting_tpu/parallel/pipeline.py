@@ -76,9 +76,9 @@ def gpipe(stage_fn: Callable, stacked_params, x, mesh: Mesh,
         # microbatch); mark the zero-init as such for the scan vma check
         def vary(a):
             try:
-                return lax.pcast(a, to="varying")
+                return lax.pcast(a, axis, to="varying")
             except (AttributeError, TypeError):  # pragma: no cover
-                return lax.pvary(a, axis)
+                return lax.pvary(a, axis)        # jax < 0.8.2 spelling
         acc0 = vary(jnp.zeros_like(micro))
         buf0 = vary(jnp.zeros_like(micro[0]))
         (_, acc), _ = lax.scan(tick, (buf0, acc0),
@@ -102,7 +102,6 @@ def pipelined_style_mapper(model, mesh: Mesh, axis: str = "stage",
     import math
 
     from ..models.stylegan2 import _equal_linear
-    from ..ops.precision import get_precision  # noqa: F401 (traced inside)
 
     S = mesh.shape[axis]
     assert model.n_mlp % S == 0, (model.n_mlp, S)

@@ -61,7 +61,10 @@ class ToyFeatures:
 
 def test_fused_matches_staged(tmp_path, tiny_model):
     model, params = tiny_model
-    n, bs = 5, 2
+    # n > 10 crosses the lexicographic/numeric filename ordering boundary
+    # ('10.png' < '2.png' lexicographically): the staged FID re-read must
+    # still stream in generation order for bit-identical stats
+    n, bs = 12, 4
 
     # staged reference run
     staged_img = str(tmp_path / "staged_imgs")
@@ -94,9 +97,10 @@ def test_fused_matches_staged(tmp_path, tiny_model):
         assert a.dtype == b.dtype == np.int64
         np.testing.assert_array_equal(a, b)
 
-    # identical feature statistics (same values, same batch partitioning)
-    np.testing.assert_allclose(mu_f, mu_s, rtol=0, atol=1e-6)
-    np.testing.assert_allclose(sig_f, sig_s, rtol=0, atol=1e-6)
+    # bit-identical feature statistics (same values, same batch
+    # partitioning, same Chan-update order)
+    np.testing.assert_array_equal(mu_f, mu_s)
+    np.testing.assert_array_equal(sig_f, sig_s)
     st = np.load(tmp_path / "stats.npz")
     np.testing.assert_array_equal(st["mu"], mu_f)
 
@@ -110,16 +114,33 @@ def test_fused_sample_only(tmp_path, tiny_model):
 
 
 def test_fused_duck_typed_segmenter(tmp_path, tiny_model):
-    """A segmenter without segment_batch_device falls back to
-    segment_batch on the device batch."""
+    """A segmenter without segment_batch_device gets the seg_stats
+    contract — zc float batches — and produces the same label artifacts
+    as the staged driver."""
     model, params = tiny_model
 
     class HostSeg:
         def segment_batch(self, xs):
-            return (jnp.asarray(xs)[..., 1] > 127).astype(jnp.uint8)[:, None]
+            xs = np.asarray(xs)
+            assert xs.dtype == np.float32 and xs.min() < -0.01, \
+                "duck-typed segmenters must receive zc floats"
+            return (xs[..., 1] > 0).astype(np.int64)[:, None]
+
+    staged_img = str(tmp_path / "duck_staged_imgs")
+    staged_seg = str(tmp_path / "duck_staged_segs")
+    sample_clean(model, params, staged_img, n=3, batch_size=2)
+    seg_stats.process(HostSeg(), staged_img, staged_seg, n=3, batch_size=2)
 
     out = str(tmp_path / "duck")
     run_fused(model, params, out, segmodel=HostSeg(), n=3, batch_size=2)
     segs = sorted(glob.glob(os.path.join(out, "seg", "*.npz")))
     assert len(segs) == 3
-    assert np.load(segs[0])["seg"].dtype == np.int64
+    for i in range(3):
+        a = np.load(os.path.join(staged_seg, f"{i}.npz"))["seg"]
+        b = np.load(os.path.join(out, "seg", f"{i}.npz"))["seg"]
+        assert a.dtype == b.dtype == np.int64
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="seg_downsample"):
+        run_fused(model, params, str(tmp_path / "duck2"),
+                  segmodel=HostSeg(), n=2, batch_size=2, seg_downsample=2)
