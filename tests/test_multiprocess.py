@@ -102,7 +102,7 @@ def _spawn(code, *args):
                             stderr=subprocess.STDOUT)
 
 
-def _wait_for(path, timeout=30.0, desc=""):
+def _wait_for(path, timeout=150.0, desc=""):
     deadline = time.time() + timeout
     while time.time() < deadline:
         if os.path.exists(path):
@@ -140,7 +140,7 @@ print("IDENTITY", i, n, round(time.time() - t0, 3))
              for pid in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=120)
+        out, _ = p.communicate(timeout=300)
         assert p.returncode == 0, out
         outs.append(out)
     idents = set()
@@ -172,7 +172,7 @@ def test_mp_claim_units_each_unit_exactly_once(tmp_path):
             time.sleep(0.02)
         open(os.path.join(barrier, "go"), "w").close()
         for p in procs:
-            assert p.wait(timeout=90) == 0
+            assert p.wait(timeout=240) == 0
     finally:
         for p in procs:
             if p.poll() is None:
@@ -208,13 +208,13 @@ def test_mp_stale_lock_of_crashed_worker_is_stolen(tmp_path):
     os.makedirs(workdir)
     os.makedirs(barrier)
     crash = _spawn(CRASH_WORKER % {"repo": REPO}, workdir)
-    assert crash.wait(timeout=60) == 1
+    assert crash.wait(timeout=180) == 1
     lock = os.path.join(workdir, "u00", "lockfile.pid")
     assert os.path.isfile(lock)  # the stale lock survived the crash
     open(os.path.join(barrier, "go"), "w").close()  # no gating needed
     out = str(tmp_path / "out")
     worker = _spawn(RACE_WORKER % {"repo": REPO}, workdir, barrier, out)
-    assert worker.wait(timeout=90) == 0
+    assert worker.wait(timeout=240) == 0
     for i in range(12):
         assert os.path.isfile(
             os.path.join(workdir, f"u{i:02d}", "done.txt")), i
@@ -232,15 +232,15 @@ def test_mp_dag_stage_of_killed_worker_is_stolen(tmp_path):
     code = DAG_WORKER % {"repo": REPO}
     slow = _spawn(code, statedir, "slow")
     try:
-        _wait_for(os.path.join(statedir, "a_started"), timeout=60,
+        _wait_for(os.path.join(statedir, "a_started"), timeout=150,
                   desc="(slow worker claiming stage a)")
         lock = os.path.join(statedir, "a", "lockfile.pid")
         assert os.path.isfile(lock)
         slow.send_signal(signal.SIGKILL)
-        slow.wait(timeout=30)
+        slow.wait(timeout=120)
         assert os.path.isfile(lock)  # SIGKILL leaves the lock behind
         fast = _spawn(code, statedir, "fast")
-        assert fast.wait(timeout=90) == 0
+        assert fast.wait(timeout=240) == 0
     finally:
         if slow.poll() is None:
             slow.kill()
