@@ -130,7 +130,9 @@ def _image_dir_batches(path: str, batch_size: int, as_uint8: bool = False):
         # order (fused_pipeline's stats are then bit-identical, not just
         # fp-close, to the staged re-read — same Chan-update order)
         stem = os.path.splitext(f)[0]
-        return (0, int(stem), f) if stem.isdigit() else (1, 0, f)
+        # isdecimal (not isdigit) so exotic Unicode digit names that
+        # int() rejects fall into the lexicographic bucket
+        return (0, int(stem), f) if stem.isdecimal() else (1, 0, f)
 
     files = sorted((f for f in os.listdir(path)
                     if f.lower().endswith((".png", ".jpg", ".jpeg"))),

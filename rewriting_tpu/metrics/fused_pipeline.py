@@ -64,11 +64,6 @@ def run_fused(model, params, outdir: str, segmodel=None, feature_fn=None,
     if segmodel is not None:
         seg_dir = seg_dir or os.path.join(outdir, "seg")
         os.makedirs(seg_dir, exist_ok=True)
-        if seg_downsample != 1 and not seg_device:
-            raise ValueError(
-                "seg_downsample requires a segmenter with "
-                "segment_batch_device (the fallback segment_batch "
-                "contract has no downsample argument)")
     cov = None
     dev_feature_fn = None
     if feature_fn is not None:
@@ -105,14 +100,20 @@ def run_fused(model, params, outdir: str, segmodel=None, feature_fn=None,
                     if seg_device:
                         labels = segmodel.segment_batch_device(
                             imgs, downsample=seg_downsample)
-                    elif getattr(segmodel, "accepts_uint8", False):
-                        labels = segmodel.segment_batch(imgs)
-                    else:  # duck-typed segmenters take zc float batches
-                        from ..utils import renormalize
-                        labels = segmodel.segment_batch(
-                            renormalize.renormalize(
-                                np.asarray(imgs).astype(np.float32)
-                                / 255.0, "pt", "zc"))
+                    else:
+                        # all in-repo segment_batch implementations take a
+                        # downsample kwarg; only forward it when non-default
+                        # so minimal duck-typed segmenters keep working
+                        kw = ({} if seg_downsample == 1
+                              else {"downsample": seg_downsample})
+                        if getattr(segmodel, "accepts_uint8", False):
+                            labels = segmodel.segment_batch(imgs, **kw)
+                        else:  # duck-typed segmenters take zc float batches
+                            from ..utils import renormalize
+                            labels = segmodel.segment_batch(
+                                renormalize.renormalize(
+                                    np.asarray(imgs).astype(np.float32)
+                                    / 255.0, "pt", "zc"), **kw)
                     # device labels fetch async below; host labels pass
                     # through np.asarray as a no-op — never re-uploaded
                     fetcher.submit(("seg", nums), labels[:len(nums)])

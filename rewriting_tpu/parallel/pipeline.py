@@ -75,10 +75,12 @@ def gpipe(stage_fn: Callable, stacked_params, x, mesh: Mesh,
         # the carry is device-varying (each device holds its own in-flight
         # microbatch); mark the zero-init as such for the scan vma check
         def vary(a):
-            try:
-                return lax.pcast(a, axis, to="varying")
-            except (AttributeError, TypeError):  # pragma: no cover
+            # fall back only when pcast itself is absent; a TypeError from
+            # a real pcast call (bad operand) must propagate from pcast
+            pcast = getattr(lax, "pcast", None)
+            if pcast is None:                    # pragma: no cover
                 return lax.pvary(a, axis)        # jax < 0.8.2 spelling
+            return pcast(a, axis, to="varying")
         acc0 = vary(jnp.zeros_like(micro))
         buf0 = vary(jnp.zeros_like(micro[0]))
         (_, acc), _ = lax.scan(tick, (buf0, acc0),

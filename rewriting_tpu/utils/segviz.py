@@ -50,3 +50,29 @@ def segment_visualization(seg, size=None) -> np.ndarray:
 
 def high_contrast_palette():
     return _PALETTE.copy()
+
+
+def swatch_image(label: int, size: int = 15):
+    """A size x size solid-color PIL swatch for a label — the legend cell
+    helper (reference segviz.py:12-14)."""
+    import PIL.Image
+    color = tuple(int(c) for c in _PALETTE[label % len(_PALETTE)])
+    return PIL.Image.new("RGB", (size, size), color)
+
+
+def segment_key(seg, segmodel, max_labels: int = 6):
+    """Legend for a label map: up to max_labels (swatch, label-name) pairs
+    ordered by descending pixel count, dropping zero-count labels
+    (reference segviz.py:17-27).  `segmodel` is any segmenter exposing
+    get_label_and_category_names()."""
+    seglabels, _ = segmodel.get_label_and_category_names()
+    bc = np.bincount(np.asarray(seg).reshape(-1))
+    result = []
+    for ind in np.argsort(bc)[::-1]:
+        if len(result) >= max_labels or bc[ind] == 0:
+            break
+        name = seglabels[ind]
+        if not isinstance(name, str):  # (name, category) tuples
+            name = name[0]
+        result.append((swatch_image(int(ind)), name))
+    return result

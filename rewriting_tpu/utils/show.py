@@ -9,6 +9,8 @@ returning the HTML string."""
 from __future__ import annotations
 
 import html as _html
+import sys
+import types
 
 import numpy as np
 
@@ -50,14 +52,56 @@ def html(*args) -> str:
 
 
 def show(*args):
-    """Display blocks in Jupyter; returns the HTML string otherwise."""
-    out = html(*args)
+    """Display blocks in Jupyter; returns the HTML string otherwise.
+
+    Any row accumulated with :func:`a` is flushed first (reference
+    utils/show.py:143-146 behavior: ``show()`` with no args == flush)."""
+    out = ""
+    global _buffer
+    if _buffer is not None:
+        pending, _buffer = _buffer, None
+        out += html(pending)
+    out += html(*args)
     try:
+        from IPython import get_ipython
         from IPython.display import display, HTML
-        display(HTML(out))
-        return None
+        if get_ipython() is not None:  # only display inside a live kernel
+            if out:
+                display(HTML(out))
+            return None
     except ImportError:
-        return out
+        pass
+    return out
+
+
+def a(x, cols=None):
+    """Append ``x`` to an implicit row buffer; the row is rendered on the
+    next ``flush()``/``show()``, or automatically once it holds ``cols``
+    items.  Incremental row-builder matching reference utils/show.py:122-129
+    (``show.a``), which the reference stats notebooks use to lay out image
+    grids one cell at a time."""
+    global _buffer
+    if _buffer is None:
+        _buffer = []
+    _buffer.append(x)
+    if cols is not None and len(_buffer) >= cols:
+        flush()
+
+
+def reset():
+    """Drop any accumulated row without rendering it
+    (reference utils/show.py:132-134)."""
+    global _buffer
+    _buffer = None
+
+
+def flush():
+    """Render the accumulated row, if any (reference utils/show.py:137-141).
+    Returns the HTML string outside IPython (same contract as show())."""
+    return show()
+
+
+_buffer = None
 
 
 def blocks(items):
@@ -68,3 +112,15 @@ def blocks(items):
 def rows(items):
     """Horizontal row."""
     return [list(items)]
+
+
+class _CallableShowModule(types.ModuleType):
+    """Makes ``from rewriting_tpu.utils import show; show(img)`` work with
+    the module itself callable — the CallableModule trick the reference
+    installs at utils/show.py:153-164 and its notebooks depend on."""
+
+    def __call__(self, *args, **kwargs):
+        return show(*args, **kwargs)
+
+
+sys.modules[__name__].__class__ = _CallableShowModule

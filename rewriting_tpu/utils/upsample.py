@@ -108,3 +108,53 @@ def upsampler(target_shape, data_shape=None, image_size=None,
                 so = ((s, o), (s, o))
         return resize_bilinear(data, tuple(target_shape), so)
     return up
+
+
+# class names the reference treats as "sizing" transforms
+# (reference upsample.py:175-177: torchvision Resize/RandomCrop/
+# RandomResizedCrop/CenterCrop); matched by name so this works both with
+# torchvision objects and with any duck-typed transform of the same role.
+_SIZER_TYPENAMES = ("Resize", "RandomCrop", "RandomResizedCrop",
+                    "CenterCrop")
+
+
+def find_sizer(source):
+    """Crawl the transforms attached to a dataset looking for the last
+    crop/resize transform (reference upsample.py:168-186).  Follows
+    `.transform` then each of `.transforms` in reverse; a sizer is an
+    object whose type name matches a known sizing transform and which
+    exposes `.size`."""
+    if source is None:
+        return None
+    if type(source).__name__ in _SIZER_TYPENAMES and hasattr(source, "size"):
+        return source
+    t = getattr(source, "transform", None)
+    if t is not None:
+        return find_sizer(t)
+    ts = getattr(source, "transforms", None)
+    if ts is not None:
+        for t in reversed(list(ts)):
+            result = find_sizer(t)
+            if result is not None:
+                return result
+    return None
+
+
+def image_size_from_source(source):
+    """(H, W) produced by a dataset/source: its last sizing transform if
+    any, else its `resolution` attribute (reference upsample.py:158-165).
+    Also accepts a bare `image_size` attribute (our model configs)."""
+    sizer = find_sizer(source)
+    if sizer is not None:
+        size = sizer.size
+    elif hasattr(source, "resolution"):
+        size = source.resolution
+    elif hasattr(source, "image_size"):
+        size = source.image_size
+    else:
+        raise ValueError(
+            f"cannot infer image size from {type(source).__name__!r}: no "
+            "sizing transform, resolution, or image_size attribute")
+    if hasattr(size, "__len__"):
+        return tuple(size)
+    return (size, size)

@@ -141,6 +141,20 @@ def test_fused_duck_typed_segmenter(tmp_path, tiny_model):
         assert a.dtype == b.dtype == np.int64
         np.testing.assert_array_equal(a, b)
 
-    with pytest.raises(ValueError, match="seg_downsample"):
+    # seg_downsample forwards to any segment_batch that accepts it (all
+    # in-repo segmenters do); a minimal duck segmenter without the kwarg
+    # fails loudly only when a non-default downsample is requested
+    class DownSeg(HostSeg):
+        def segment_batch(self, xs, downsample=1):
+            return super().segment_batch(xs)[:, :, ::downsample, ::downsample]
+
+    out3 = str(tmp_path / "duck3")
+    run_fused(model, params, out3, segmodel=DownSeg(), n=2, batch_size=2,
+              seg_downsample=2)
+    seg = np.load(os.path.join(out3, "seg", "0.npz"))["seg"]
+    full = np.load(os.path.join(out, "seg", "0.npz"))["seg"]
+    assert seg.shape[-1] == full.shape[-1] // 2
+
+    with pytest.raises(TypeError, match="downsample"):
         run_fused(model, params, str(tmp_path / "duck2"),
                   segmodel=HostSeg(), n=2, batch_size=2, seg_downsample=2)

@@ -128,6 +128,95 @@ def test_segviz():
     assert (segviz.segment_visualization(seg0) == 0).all()
 
 
+def test_segviz_legend_helpers():
+    # swatch_image: solid palette-colored PIL square (reference
+    # segviz.py:12-14)
+    sw = segviz.swatch_image(3, size=7)
+    assert sw.size == (7, 7)
+    arr = np.asarray(sw)
+    assert (arr == arr[0, 0]).all(), "swatch is a solid color"
+    palette = segviz.high_contrast_palette()
+    assert tuple(arr[0, 0]) == tuple(palette[3])
+
+    # segment_key: descending-pixel-count (swatch, name) legend
+    # (reference segviz.py:17-27)
+    class FakeSeg:
+        def get_label_and_category_names(self):
+            return ([(f"label{i}", "object") for i in range(10)], ["object"])
+
+    seg = np.zeros((8, 8), int)
+    seg[:4] = 2       # 32 px of label 2
+    seg[4:6] = 5      # 16 px of label 5
+    key = segviz.segment_key(seg, FakeSeg(), max_labels=2)
+    assert [name for _, name in key] == ["label2", "label5"]
+    assert all(sw.size == (15, 15) for sw, _ in key)
+    # zero-count labels never appear even with a generous max
+    key_all = segviz.segment_key(seg, FakeSeg(), max_labels=8)
+    assert [name for _, name in key_all] == ["label2", "label5", "label0"]
+
+
+def test_show_incremental_api():
+    import rewriting_tpu.utils.show as show
+    show.reset()
+    # a() accumulates; flush renders the row (reference show.py:122-141)
+    show.a("alpha")
+    show.a("beta")
+    out = show.flush()
+    assert "alpha" in out and "beta" in out
+    assert show.flush() is None or show.flush() == ""  # buffer cleared
+    # cols triggers auto-flush (output lost outside IPython, buffer drains)
+    show.a("x", cols=2)
+    assert show._buffer == ["x"]
+    show.a("y", cols=2)
+    assert show._buffer is None
+    # show() flushes pending rows first
+    show.a("pending")
+    out = show.show("body")
+    assert "pending" in out and "body" in out
+    assert out.index("pending") < out.index("body")
+    # the module itself is callable (CallableModule trick,
+    # reference show.py:153-164)
+    assert callable(show)
+    assert "direct" in show("direct")
+    show.reset()
+
+
+def test_upsample_source_sizing():
+    from rewriting_tpu.utils.upsample import (find_sizer,
+                                              image_size_from_source)
+
+    class Resize:  # duck-typed torchvision-style sizing transform
+        def __init__(self, size):
+            self.size = size
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = size
+
+    class DS:
+        def __init__(self, transforms=None, transform=None):
+            if transforms is not None:
+                self.transforms = transforms
+            if transform is not None:
+                self.transform = transform
+
+    # last sizing transform wins (reference upsample.py:179-186 walks
+    # .transforms in reverse)
+    ds = DS(transforms=[Resize(64), CenterCrop(32)])
+    assert find_sizer(ds).size == 32
+    assert image_size_from_source(ds) == (32, 32)
+    # nested .transform chain
+    assert image_size_from_source(DS(transform=Resize((48, 24)))) == (48, 24)
+    # resolution fallback
+    class Model:
+        resolution = 256
+    assert image_size_from_source(Model()) == (256, 256)
+    assert find_sizer(None) is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        image_size_from_source(object())
+
+
 def test_zoo_missing_checkpoint_message(tmp_path, monkeypatch):
     from rewriting_tpu.models import zoo
     monkeypatch.setenv("REWRITING_TPU_WEIGHTS", str(tmp_path))
