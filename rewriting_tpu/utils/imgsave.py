@@ -77,9 +77,14 @@ class SaveImageWorker(WorkerBase):
 
 
 class SaveImagePool(WorkerPool):
-    """Async image writer (reference imgsave.py:64-66)."""
+    """Async image writer (reference imgsave.py:64-66).  Worker count
+    scales with the host (up to 8) so small CI machines aren't starved
+    by encoder threads."""
 
-    def __init__(self, nworkers: int = 8, **kwargs):
+    def __init__(self, nworkers=None, **kwargs):
+        from .workerpool import default_nworkers
+        if nworkers is None:
+            nworkers = default_nworkers(8)
         super().__init__(worker=SaveImageWorker, nworkers=nworkers, **kwargs)
 
 

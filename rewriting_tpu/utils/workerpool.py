@@ -16,8 +16,17 @@ breaks notebook/REPL parents).  Pass ``start_method='fork'|'spawn'|
 from __future__ import annotations
 
 import atexit
+import os
 import queue as _queue
 import threading
+
+
+def default_nworkers(cap: int = 4) -> int:
+    """min(cap, cpu_count).  On small CI hosts a large writer pool starves
+    cooperating processes of cycles (observed: an nbclient notebook kernel
+    missing its heartbeat while an 8-worker save pool drained on 1 core);
+    scaling with the host keeps big machines fast and small ones stable."""
+    return max(1, min(cap, os.cpu_count() or 1))
 
 
 class WorkerBase:
@@ -57,9 +66,11 @@ def _process_main(worker_cls, init_args, q):  # pragma: no cover
 
 
 class WorkerPool:
-    def __init__(self, worker=WorkerBase, nworkers: int = 4,
+    def __init__(self, worker=WorkerBase, nworkers=None,
                  maxqueue: int = 64, init_args=(),
                  start_method: str = "thread"):
+        if nworkers is None:
+            nworkers = default_nworkers(4)
         self._closed = False
         if start_method == "thread":
             self.queue = _queue.Queue(maxsize=maxqueue)

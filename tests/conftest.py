@@ -26,6 +26,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Run the notebook-execution tests last: each spawns a full Jupyter
+    kernel, and on a small host they are the tests most sensitive to
+    leftover load — sequencing them after everything else keeps the
+    full-suite run green (see docs/PERF_NOTES.md round 4)."""
+    items.sort(key=lambda item: item.fspath.basename == "test_notebooks.py")
+
+
 @pytest.fixture(scope="session")
 def goldens():
     def load(name):
