@@ -1,24 +1,36 @@
 """Neural Best-Buddies baseline: sparse cross-image correspondences,
 MLS warping, and Poisson blending.
 
-Compact clean-room rebuild of the reference's vendored NBB baseline
+Clean-room rebuild of the reference's vendored NBB baseline
 (baselines/neural_best_buddies/: algorithms/neural_best_buddies.py, MLS
 warp util/MLS.py, poisson blending pyflow/poisson_image_editing.py) used
-as a copy-paste comparison method:
+as a copy-paste comparison method.  The correspondence engine follows the
+reference algorithm step for step (vectorized numpy instead of per-pixel
+torch loops):
 
-1. extract feature pyramids for two images (any multi-tap extractor; by
-   default the LPIPS VGG16 taps),
-2. find *mutual nearest neighbor* feature pairs (best buddies) at the
-   coarsest level via a normalized cross-correlation matrix (one matmul),
-3. refine coarse-to-fine by searching small windows around each upsampled
-   correspondence,
-4. keep the top-k pairs by activation energy,
+1. extract a 5-level feature pyramid per image (any multi-tap extractor;
+   by default the LPIPS VGG16 taps),
+2. at the coarsest level, compute patch-correlation nearest-neighbor
+   mappings in both directions (reference find_mapping,
+   neural_best_buddies.py:27-63) and keep the cycle-consistent pairs
+   ("best buddies", :157-172),
+3. refine coarse-to-fine: per surviving pair, re-run the best-buddy
+   search inside the x2-upsampled receptive fields (:147-153, :174-178),
+   matching against *common-appearance* features — the average of each
+   image's own features with the warped-and-reconstructed features of the
+   other image (transfer_style_local, :335-349; patch-average warp
+   :65-76, warp_to_mid :78-92),
+4. accumulate per-pair responses across levels (:195-204), drop pairs
+   below the normalized-response threshold tau (:222-235), and pick the
+   spatially-spread top-k via k-means clusters in (ya, xa, yb, xb) space
+   (:303-325),
 5. warp with moving-least-squares and blend seamlessly by solving the
    Poisson equation (scipy sparse).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -58,71 +70,359 @@ def mutual_nearest_neighbors(fa: np.ndarray, fb: np.ndarray
     return [(ia, ib) for ia, ib in enumerate(a2b) if b2a[ib] == ia]
 
 
-def _window_argmax(feats_n, center, vec, radius):
-    """Best-correlated position with `vec` within a window around center."""
-    h, w = feats_n.shape[:2]
-    y, x = center
-    y0, y1 = max(y - radius, 0), min(y + radius + 1, h)
-    x0, x1 = max(x - radius, 0), min(x + radius + 1, w)
-    window = feats_n[y0:y1, x0:x1].reshape(-1, feats_n.shape[-1])
-    k = int((window @ vec).argmax())
-    wy, wx = np.unravel_index(k, (y1 - y0, x1 - x0))
-    return (y0 + int(wy), x0 + int(wx))
+# ---------------------------------------------------------------------------
+# the reference algorithm's primitives (neural_best_buddies.py), vectorized
+# ---------------------------------------------------------------------------
+
+# per level L (1-indexed, L=1 finest): square patch side and search radius
+# (reference patch_size_list / search_box_radius_list, :21-22)
+PATCH_SIZES = (5, 5, 3, 3, 3)
+SEARCH_RADII = (3, 3, 2, 2, 2)
 
 
-def _refine_level(fa, fb, pairs_coarse, scale: int, radius: int = 1):
-    """Local two-step refinement on a finer level: fix the upsampled a
-    location, re-localize b within a small window, then re-localize a
-    against the refined b.  Duplicates are collapsed."""
-    na = fa / (np.linalg.norm(fa, axis=-1, keepdims=True) + 1e-10)
-    nb = fb / (np.linalg.norm(fb, axis=-1, keepdims=True) + 1e-10)
-    ha, wa = fa.shape[:2]
-    hb, wb = fb.shape[:2]
-    refined = []
+def normalize_per_pix(F: np.ndarray) -> np.ndarray:
+    """Unit-norm the channel vector at every spatial position
+    (reference feature_metric.normalize_per_pix)."""
+    n = np.sqrt((F * F).sum(-1, keepdims=True))
+    return F / np.maximum(n, 1e-12)
+
+
+def _stretch01(x: np.ndarray) -> np.ndarray:
+    """Min-max normalize to [0, 1]; constant maps -> 0
+    (reference feature_metric.stretch_tensor_0_to_1)."""
+    lo, hi = x.min(), x.max()
+    if hi == lo:
+        return np.zeros_like(x)
+    return (x - lo) / (hi - lo)
+
+
+def response_l2(F: np.ndarray) -> np.ndarray:
+    """sqrt(sum_c F^2): the per-position activation response used for
+    ranking pairs (reference feature_metric.response, style='l2')."""
+    return np.sqrt((F * F).sum(-1))
+
+
+def get_M(F: np.ndarray, tau: float = 0.05) -> np.ndarray:
+    """Boolean high-activation mask: normalized SQUARED response >= tau
+    (reference get_M, neural_best_buddies.py:117-123 — note it uses the
+    squared response, unlike the l2 response used for ranking)."""
+    return _stretch01((F * F).sum(-1)) >= tau
+
+
+def identity_map(h: int, w: int) -> np.ndarray:
+    """(H, W, 2) int map of own coordinates (reference identity_map)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([yy, xx], axis=-1)
+
+
+def upsample_mapping(mapping: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Nearest-upsample a (H, W, 2) coordinate map, scaling the stored
+    coordinates (reference upsample_mapping, :113-115)."""
+    m = factor * mapping
+    return m.repeat(factor, axis=0).repeat(factor, axis=1)
+
+
+def find_mapping(A: np.ndarray, B: np.ndarray, patch: int,
+                 initial_mapping: np.ndarray, radius: int) -> np.ndarray:
+    """Per-position nearest-neighbor map A -> B by patch correlation
+    within a search box around the initial mapping (reference
+    find_mapping/find_closest_patch_index, :27-63).
+
+    A/B are (H, W, C) per-pixel-normalized features; returns (H, W, 2)
+    int coordinates into B.  Vectorized as (patch^2 x box^2) shifted
+    whole-image dot products instead of the reference's per-pixel conv2d
+    loop; candidate scan order (row-major, first max wins) matches the
+    reference's torch.max tie-breaking."""
+    h, w, _ = A.shape
+    d = patch // 2
+    Ap = np.pad(A, ((d, d), (d, d), (0, 0)), mode="reflect")
+    Bp = np.pad(B, ((d, d), (d, d), (0, 0)), mode="reflect")
+    iy = initial_mapping[..., 0].astype(np.int64)
+    ix = initial_mapping[..., 1].astype(np.int64)
+    best = np.full((h, w), -np.inf, np.float32)
+    by = np.zeros((h, w), np.int64)
+    bx = np.zeros((h, w), np.int64)
+    for dy in range(-radius, radius + 1):
+        cy = iy + dy
+        vy = (cy >= 0) & (cy < h)
+        cyc = np.clip(cy, 0, h - 1)
+        for dx in range(-radius, radius + 1):
+            cx = ix + dx
+            valid = vy & (cx >= 0) & (cx < w)
+            cxc = np.clip(cx, 0, w - 1)
+            score = np.zeros((h, w), np.float32)
+            for u in range(patch):
+                for v in range(patch):
+                    score += np.einsum("hwc,hwc->hw",
+                                       Ap[u:u + h, v:v + w],
+                                       Bp[cyc + u, cxc + v])
+            score = np.where(valid, score, -np.inf)
+            take = score > best  # strict: first (row-major) max wins
+            best = np.where(take, score, best)
+            by = np.where(take, cyc, by)
+            bx = np.where(take, cxc, bx)
+    return np.stack([by, bx], axis=-1)
+
+
+def find_best_buddies(a_to_b: np.ndarray, b_to_a: np.ndarray,
+                      box_a=None, box_b=None):
+    """Cycle-consistent pairs: positions whose forward map maps straight
+    back (reference find_best_buddies, :157-172).  Optional [top_left,
+    bottom_right) boxes restrict the a positions and the mapped b
+    positions (used for receptive-field-local refinement).  Returns
+    (pts_a, pts_b) int arrays of shape (n, 2) in row-major scan order."""
+    h, w = a_to_b.shape[:2]
+    my, mx = a_to_b[..., 0], a_to_b[..., 1]
+    back = b_to_a[my, mx]
+    yy, xx = np.mgrid[0:h, 0:w]
+    cyc = (back[..., 0] == yy) & (back[..., 1] == xx)
+    if box_a is not None:
+        (t1, b1) = box_a
+        cyc &= (yy >= t1[0]) & (yy < b1[0]) & (xx >= t1[1]) & (xx < b1[1])
+    if box_b is not None:
+        (t2, b2) = box_b
+        cyc &= (my >= t2[0]) & (my < b2[0]) & (mx >= t2[1]) & (mx < b2[1])
+    ys, xs = np.nonzero(cyc)
+    pts_a = np.stack([ys, xs], axis=-1)
+    pts_b = np.stack([my[ys, xs], mx[ys, xs]], axis=-1)
+    return pts_a, pts_b
+
+
+def extract_receptive_field(y: int, x: int, radius: int, shape):
+    """The x2-upsampled receptive field of a coarse position, as a
+    [top_left, bottom_right) box (reference extract_receptive_field)."""
+    cy, cx = 2 * y, 2 * x
+    return ([max(cy - radius, 0), max(cx - radius, 0)],
+            [min(cy + radius + 1, shape[0]), min(cx + radius + 1, shape[1])])
+
+
+def warp(B: np.ndarray, patch: int, mapping: np.ndarray) -> np.ndarray:
+    """Patch-average warp of B into the mapping's source frame: every
+    output patch accumulates the B patch its center maps to, then
+    normalizes by coverage (reference warp, :65-76)."""
+    h, w, c = B.shape
+    d = patch // 2
+    Bp = np.pad(B, ((d, d), (d, d), (0, 0)), mode="reflect")
+    acc = np.zeros((h + 2 * d, w + 2 * d, c), B.dtype)
+    cnt = np.zeros((h + 2 * d, w + 2 * d, 1), B.dtype)
+    my = mapping[..., 0].astype(np.int64)
+    mx = mapping[..., 1].astype(np.int64)
+    for u in range(patch):
+        for v in range(patch):
+            acc[u:u + h, v:v + w] += Bp[my + u, mx + v]
+            cnt[u:u + h, v:v + w] += 1
+    out = acc / cnt
+    return out[d:d + h, d:d + w]
+
+
+def warp_to_mid(B: np.ndarray, A: np.ndarray, patch: int,
+                mapping: np.ndarray) -> np.ndarray:
+    """Common-appearance midpoint warp: like warp() but each accumulated
+    patch is the average of A's own patch and the mapped B patch
+    (reference warp_to_mid, :78-92)."""
+    h, w, c = B.shape
+    d = patch // 2
+    Bp = np.pad(B, ((d, d), (d, d), (0, 0)), mode="reflect")
+    Ap = np.pad(A, ((d, d), (d, d), (0, 0)), mode="reflect")
+    acc = np.zeros((h + 2 * d, w + 2 * d, c), B.dtype)
+    cnt = np.zeros((h + 2 * d, w + 2 * d, 1), B.dtype)
+    my = mapping[..., 0].astype(np.int64)
+    mx = mapping[..., 1].astype(np.int64)
+    for u in range(patch):
+        for v in range(patch):
+            acc[u:u + h, v:v + w] += 0.5 * (Ap[u:u + h, v:v + w]
+                                            + Bp[my + u, mx + v])
+            cnt[u:u + h, v:v + w] += 1
+    out = acc / cnt
+    return out[d:d + h, d:d + w]
+
+
+def top_k_in_clusters(pts_a, pts_b, resp, k: int):
+    """Spatially-spread top-k: k-means the pairs in (ya, xa, yb, xb)
+    space and keep the highest-response pair per cluster (reference
+    top_k_in_clusters, :303-325, sklearn KMeans random_state=0)."""
+    n = len(pts_a)
+    # strict >: with k == n the reference still runs k-means, which
+    # REORDERS the pairs by cluster index — and downstream per-parent
+    # refinement + first-max tie-breaks depend on that order (:304-305)
+    if k > n:
+        return pts_a, pts_b, resp
+    feats = np.concatenate([np.asarray(pts_a, np.float64),
+                            np.asarray(pts_b, np.float64)], axis=1)
+    from sklearn.cluster import KMeans
+    labels = KMeans(n_clusters=k, random_state=0).fit(feats).labels_
+    keep = []
+    for i in range(k):
+        best, best_j = 0.0, None
+        for j in range(n):
+            if labels[j] == i and resp[j] > best:
+                best, best_j = resp[j], j
+        if best_j is not None:
+            keep.append(best_j)
+    keep = np.asarray(keep, np.int64)
+    return pts_a[keep], pts_b[keep], resp[keep]
+
+
+def default_reconstruct(F: np.ndarray, src_level: int, dst_level: int,
+                        out_channels: int, seed: int = 0) -> np.ndarray:
+    """Deterministic stand-in for the reference's deconvolutional feature
+    inversion (vgg19_model.deconve — an iterative optimization): nearest
+    2x upsample per level step plus a fixed seeded linear projection into
+    the finer level's channel count, rectified like the VGG taps it
+    imitates.  Pluggable: pass `reconstruct_fn` for the real thing."""
+    steps = src_level - dst_level
+    out = F.repeat(2 ** steps, axis=0).repeat(2 ** steps, axis=1)
+    rng = np.random.RandomState(seed + 100 * src_level + dst_level)
+    proj = rng.randn(F.shape[-1], out_channels).astype(F.dtype)
+    proj /= math.sqrt(F.shape[-1])
+    return np.maximum(out @ proj, 0.0)
+
+
+def sparse_correspondence(pyr_a: Sequence[np.ndarray],
+                          pyr_b: Sequence[np.ndarray],
+                          reconstruct_fn: Optional[Callable] = None,
+                          tau: float = 0.05,
+                          k_per_level: Optional[int] = None,
+                          border: int = 7,
+                          l_final: int = 1):
+    """The full reference NBB pipeline (run loop, :361-414) over a
+    fine->coarse feature pyramid pair ((H/2^(L-1), W/2^(L-1), C_L) arrays,
+    level L = pyr[L-1]).
+
+    Returns (pts_a, pts_b, resp): correspondence pixel coordinates at the
+    finest-level resolution scaled by 2^(l_final-1), after per-level
+    refinement, response thresholding, optional per-level k-means capping,
+    dedup, and border filtering.  `reconstruct_fn(F, src_level, dst_level,
+    out_channels)` inverts features one level finer for the
+    common-appearance average (default: default_reconstruct)."""
+    reconstruct_fn = reconstruct_fn or default_reconstruct
+    l_start = len(pyr_a)
+    F_A = np.asarray(pyr_a[l_start - 1], np.float32)
+    F_B = np.asarray(pyr_b[l_start - 1], np.float32)
+    F_Am, F_Bm = F_A, F_B
+    map_ab = identity_map(*F_A.shape[:2])
+    map_ba = map_ab.copy()
+    pts_a = pts_b = resp = None
+    for L in range(l_start, l_final - 1, -1):
+        patch = PATCH_SIZES[L - 1]
+        radius = SEARCH_RADII[L - 1]
+        a2b = find_mapping(normalize_per_pix(F_Am), normalize_per_pix(F_Bm),
+                           patch, map_ab, radius)
+        b2a = find_mapping(normalize_per_pix(F_Bm), normalize_per_pix(F_Am),
+                           patch, map_ba, radius)
+        # per-pair response: average of the two endpoints' normalized l2
+        # responses of the *unmixed* features (calculate_activations,
+        # :195-204); accumulates across levels during refinement (:187)
+        ra = _stretch01(response_l2(F_A))
+        rb = _stretch01(response_l2(F_B))
+        if L == l_start:
+            pts_a, pts_b = find_best_buddies(a2b, b2a)
+            resp = 0.5 * (ra[pts_a[:, 0], pts_a[:, 1]]
+                          + rb[pts_b[:, 0], pts_b[:, 1]])
+        else:
+            # refine each surviving pair inside its upsampled receptive
+            # field; children inherit the parent's accumulated response
+            # (find_neural_best_buddies non-deepest branch, :147-153,
+            # appended in reverse parent order per
+            # replace_refined_correspondence, :180-193)
+            na, nb, nr = [], [], []
+            shape = a2b.shape[:2]
+            # the buddy set is a property of the level's mappings; compute
+            # it once (row-major order) and box-filter per parent
+            ga, gb = find_best_buddies(a2b, b2a)
+            for i in range(len(pts_a) - 1, -1, -1):
+                t1, b1 = extract_receptive_field(pts_a[i, 0], pts_a[i, 1],
+                                                 radius, shape)
+                t2, b2 = extract_receptive_field(pts_b[i, 0], pts_b[i, 1],
+                                                 radius, shape)
+                inside = ((ga[:, 0] >= t1[0]) & (ga[:, 0] < b1[0])
+                          & (ga[:, 1] >= t1[1]) & (ga[:, 1] < b1[1])
+                          & (gb[:, 0] >= t2[0]) & (gb[:, 0] < b2[0])
+                          & (gb[:, 1] >= t2[1]) & (gb[:, 1] < b2[1]))
+                ca, cb = ga[inside], gb[inside]
+                cr = resp[i] + 0.5 * (ra[ca[:, 0], ca[:, 1]]
+                                      + rb[cb[:, 0], cb[:, 1]])
+                na.append(ca)
+                nb.append(cb)
+                nr.append(cr)
+            pts_a = np.concatenate(na) if na else np.zeros((0, 2), np.int64)
+            pts_b = np.concatenate(nb) if nb else np.zeros((0, 2), np.int64)
+            resp = np.concatenate(nr) if nr else np.zeros((0,), np.float32)
+        # response threshold at both endpoints (:222-235)
+        ma, mb = get_M(F_A, tau), get_M(F_B, tau)
+        keep = (ma[pts_a[:, 0], pts_a[:, 1]]
+                & mb[pts_b[:, 0], pts_b[:, 1]])
+        pts_a, pts_b, resp = pts_a[keep], pts_b[keep], resp[keep]
+        if k_per_level is not None:
+            pts_a, pts_b, resp = top_k_in_clusters(pts_a, pts_b, resp,
+                                                   int(k_per_level))
+        if L > l_final:
+            # common-appearance transfer to the next finer level
+            # (transfer_style_local, :335-349): warp each image's features
+            # into the other's frame, reconstruct one level finer, and
+            # average with the true finer-level features
+            F_An = np.asarray(pyr_a[L - 2], np.float32)
+            F_Bn = np.asarray(pyr_b[L - 2], np.float32)
+            RB = reconstruct_fn(warp(F_B, patch, a2b), L, L - 1,
+                                F_An.shape[-1])
+            RA = reconstruct_fn(warp(F_A, patch, b2a), L, L - 1,
+                                F_Bn.shape[-1])
+            F_Am = 0.5 * (F_An + RB)
+            F_Bm = 0.5 * (F_Bn + RA)
+            F_A, F_B = F_An, F_Bn
+            map_ab = upsample_mapping(a2b)
+            map_ba = upsample_mapping(b2a)
+    # finalize (make_correspondence_unique + scale_correspondence +
+    # remove_border_correspondence, :241-253, :289-301, :254-281)
     seen = set()
-    for (ya, xa), (yb, xb) in pairs_coarse:
-        pa = (min(int(ya) * scale, ha - 1), min(int(xa) * scale, wa - 1))
-        pb0 = (min(int(yb) * scale, hb - 1), min(int(xb) * scale, wb - 1))
-        pb = _window_argmax(nb, pb0, na[pa[0], pa[1]], radius)
-        pa = _window_argmax(na, pa, nb[pb[0], pb[1]], radius)
-        key = (pa, pb)
+    keep = []
+    for i in range(len(pts_a)):
+        key = (int(pts_a[i, 0]), int(pts_a[i, 1]))
         if key not in seen:
             seen.add(key)
-            refined.append((pa, pb))
-    return refined
+            keep.append(i)
+    keep = np.asarray(keep, np.int64)
+    pts_a, pts_b, resp = pts_a[keep], pts_b[keep], resp[keep]
+    scale = 2 ** (l_final - 1)
+    pts_a = pts_a * scale
+    pts_b = pts_b * scale
+    if border > 0:
+        image_width = pyr_a[0].shape[0] * 1  # finest level == image grid
+        hi = image_width - border
+        ok = ((pts_a >= border) & (pts_a <= hi)
+              & (pts_b >= border) & (pts_b <= hi)).all(axis=1)
+        pts_a, pts_b, resp = pts_a[ok], pts_b[ok], resp[ok]
+    return pts_a, pts_b, resp
 
 
 def neural_best_buddies(images_a, images_b, k: int = 10,
                         feature_fn: Optional[Callable] = None,
-                        radius: int = 2):
+                        tau: float = 0.05,
+                        k_per_level: Optional[int] = None,
+                        border: Optional[int] = None,
+                        reconstruct_fn: Optional[Callable] = None):
     """Top-k sparse correspondences between two (1, H, W, 3) zc images,
-    returned as pixel coordinates [((ya, xa), (yb, xb)), ...]."""
+    returned as pixel coordinates [((ya, xa), (yb, xb)), ...] — the
+    reference algorithm end to end (run + top_k_in_clusters with
+    k_final=k, neural_best_buddies.py:361-414)."""
     feature_fn = feature_fn or default_feature_pyramid
-    pyr_a = feature_fn(images_a)
-    pyr_b = feature_fn(images_b)
-    # coarsest level: global mutual nearest neighbors
-    fa, fb = pyr_a[-1][0], pyr_b[-1][0]
-    pairs = [(tuple(int(v) for v in np.unravel_index(ia, fa.shape[:2])),
-              tuple(int(v) for v in np.unravel_index(ib, fb.shape[:2])))
-             for ia, ib in mutual_nearest_neighbors(fa, fb)]
-    # energy ranking: product of mean activations at the two points
-    def energy(level_a, level_b, p):
-        (ya, xa), (yb, xb) = p
-        return (np.abs(level_a[ya, xa]).mean()
-                * np.abs(level_b[yb, xb]).mean())
-    pairs.sort(key=lambda p: -energy(fa, fb, p))
-    pairs = pairs[:max(k * 3, k)]
-    # coarse-to-fine refinement
-    for level in range(len(pyr_a) - 2, -1, -1):
-        la, lb = pyr_a[level][0], pyr_b[level][0]
-        scale = la.shape[0] // pyr_a[level + 1][0].shape[0]
-        pairs = _refine_level(la, lb, pairs, scale, radius=radius)
-    la, lb = pyr_a[0][0], pyr_b[0][0]
-    pairs.sort(key=lambda p: -energy(la, lb, p))
+    pyr_a = [np.asarray(f[0], np.float32) for f in feature_fn(images_a)]
+    pyr_b = [np.asarray(f[0], np.float32) for f in feature_fn(images_b)]
+    if border is None:
+        # reference default --border_size 7 is calibrated for 224px
+        # inputs; scale it for smaller test images
+        border = max(1, min(7, pyr_a[0].shape[0] // 32))
+    pts_a, pts_b, resp = sparse_correspondence(
+        pyr_a, pyr_b, reconstruct_fn=reconstruct_fn, tau=tau,
+        k_per_level=k_per_level, border=border)
+    pts_a, pts_b, resp = top_k_in_clusters(pts_a, pts_b, resp, k)
+    # feature grid -> image pixels (finest tap may sit below image res)
     h_img = np.asarray(images_a).shape[1]
-    scale = h_img // la.shape[0]
-    return [((ya * scale, xa * scale), (yb * scale, xb * scale))
-            for (ya, xa), (yb, xb) in pairs[:k]]
+    scale = max(1, h_img // max(1, pyr_a[0].shape[0]))
+    order = np.argsort(-resp, kind="stable")
+    return [((int(pts_a[i, 0]) * scale, int(pts_a[i, 1]) * scale),
+             (int(pts_b[i, 0]) * scale, int(pts_b[i, 1]) * scale))
+            for i in order]
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ everything runs on CPU torch.
 This script is run once to (re)create fixtures; tests only read the npz.
 """
 
+import math
 import pathlib
 import sys
 import types
@@ -608,6 +609,151 @@ def make_real_weight_goldens():
         print(f"{pg_ckpt} absent; fixture skipped")
 
 
+# ---------------------------------------------------------------------------
+# NBB golden correspondences: run the reference neural-best-buddies
+# algorithm (baselines/neural_best_buddies/algorithms/neural_best_buddies.py)
+# over a deterministic shared feature pyramid and record the surviving
+# correspondences, so tests/test_nbb.py can pin the rebuilt engine's
+# mapping search / buddy refinement / response accumulation / tau
+# threshold / k-means selection against the reference behavior.
+# ---------------------------------------------------------------------------
+
+_NBB_H = 64
+_NBB_CHANNELS = (8, 12, 16, 24, 32)
+
+
+def _nbb_smooth_image(seed):
+    """Multi-octave smooth random texture in [-2, 2] — structured enough
+    for patch correlation to localize."""
+    r = np.random.RandomState(seed)
+    img = np.zeros((_NBB_H, _NBB_H, 3), np.float32)
+    for octave, res in enumerate((4, 8, 16, 32)):
+        base = r.randn(res, res, 3).astype(np.float32)
+        rep = _NBB_H // res
+        img += base.repeat(rep, 0).repeat(rep, 1) / (octave + 1)
+    return img
+
+
+def _nbb_pyramid(img):
+    """Level L in 1..5: block-mean to H/2^(L-1), then a fixed seeded
+    projection + ReLU into the level's channel count."""
+    out = []
+    for lvl in range(1, 6):
+        f = 2 ** (lvl - 1)
+        h = _NBB_H // f
+        block = img.reshape(h, f, h, f, 3).mean((1, 3))
+        pr = np.random.RandomState(1000 + lvl)
+        proj = pr.randn(3, _NBB_CHANNELS[lvl - 1]).astype(np.float32)
+        out.append(np.maximum(block @ proj, 0.0).astype(np.float32))
+    return out
+
+
+def _nbb_reconstruct(feats, src_level, dst_level, out_channels, seed=0):
+    """Shared deterministic deconve stand-in; MUST match
+    rewriting_tpu.baselines.nbb.default_reconstruct bit for bit (the
+    fixture pins both sides to the same operator)."""
+    steps = src_level - dst_level
+    out = feats.repeat(2 ** steps, axis=0).repeat(2 ** steps, axis=1)
+    r = np.random.RandomState(seed + 100 * src_level + dst_level)
+    proj = r.randn(feats.shape[-1], out_channels).astype(feats.dtype)
+    proj /= math.sqrt(feats.shape[-1])
+    return np.maximum(out @ proj, 0.0)
+
+
+def make_nbb_golden(tau=0.05, k_per_level=10, k_final=8, border=2):
+    # NOTE: k_per_level must stay below the number of DISTINCT pairs at
+    # every level — the reference's top_k_in_clusters indexes past the end
+    # of the list when k-means returns an empty cluster (its :309-321
+    # max_response_index initialization), an upstream quirk we avoid
+    # rather than replicate.
+    nbb_dir = REF / "baselines" / "neural_best_buddies"
+    # draw_correspondence imports torchvision.transforms at module level
+    # (never used on this path); stub it like the segmenter imports above
+    if "torchvision.transforms" not in sys.modules:
+        tv = sys.modules["torchvision"]
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision.transforms"] = tvt
+    sys.path.insert(0, str(nbb_dir))
+    pkg = types.ModuleType("nbbref_algorithms")
+    pkg.__path__ = [str(nbb_dir / "algorithms")]
+    sys.modules["nbbref_algorithms"] = pkg
+    for mod in ("feature_metric", "neural_best_buddies"):
+        spec = importlib.util.spec_from_file_location(
+            f"nbbref_algorithms.{mod}", nbb_dir / "algorithms" / f"{mod}.py")
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"nbbref_algorithms.{mod}"] = m
+        spec.loader.exec_module(m)
+    NBB = sys.modules["nbbref_algorithms.neural_best_buddies"]
+
+    img_a = _nbb_smooth_image(7)
+    img_b = (np.roll(img_a, (6, -4), axis=(0, 1)) * 0.9
+             + 0.1 * _nbb_smooth_image(11))
+    pyr_a = _nbb_pyramid(img_a)
+    pyr_b = _nbb_pyramid(img_b)
+
+    sc = NBB.sparse_semantic_correspondence(
+        model=None, gpu_ids=[], tau=tau, border_size=border,
+        save_dir="/tmp/nbb_golden_unused", k_per_level=float(k_per_level),
+        k_final=k_final, fast=False)
+
+    def t(level_np):  # NHWC numpy -> NCHW torch
+        return torch.from_numpy(
+            np.ascontiguousarray(level_np.transpose(2, 0, 1))[None])
+
+    # replicate the reference run() loop (neural_best_buddies.py:361-409)
+    # with the precomputed pyramid standing in for model.forward and the
+    # shared reconstruct standing in for model.deconve; no drawing/saving
+    F_A, F_B = t(pyr_a[4]), t(pyr_b[4])
+    F_Am, F_Bm = F_A.clone(), F_B.clone()
+    init_ab = sc.identity_map(F_B.size())
+    init_ba = init_ab.clone()
+    corr = []
+    for L in range(5, 0, -1):
+        patch_size = sc.patch_size_list[L - 1]
+        radius = sc.search_box_radius_list[L - 1]
+        corr, a2b, b2a = sc.find_neural_best_buddies(
+            corr, F_A, F_Am, F_Bm, F_B, patch_size, init_ab, init_ba,
+            radius, sc.tau, sc.k_per_level, deepest_level=(L == 5))
+        corr = sc.threshold_response_correspondence(corr, F_A, F_B, sc.tau)
+        if sc.k_per_level < float("inf"):
+            corr = sc.top_k_in_clusters(corr, int(sc.k_per_level))
+        if L > 1:
+            warped_b = sc.warp(F_A.size(), F_B, patch_size, a2b)
+            warped_a = sc.warp(F_B.size(), F_A, patch_size, b2a)
+            F_An, F_Bn = t(pyr_a[L - 2]), t(pyr_b[L - 2])
+
+            def rec(warped, cout):
+                w_np = warped[0].numpy().transpose(1, 2, 0)
+                return t(_nbb_reconstruct(w_np, L, L - 1, cout))
+            F_Am = (F_An + rec(warped_b, pyr_a[L - 2].shape[-1])) * 0.5
+            F_Bm = (F_Bn + rec(warped_a, pyr_b[L - 2].shape[-1])) * 0.5
+            F_A, F_B = F_An, F_Bn
+            init_ab = sc.upsample_mapping(a2b)
+            init_ba = sc.upsample_mapping(b2a)
+    corr = sc.make_correspondence_unique(corr)
+    corr = sc.scale_correspondence(corr, 1)
+    corr = sc.remove_border_correspondence(corr, border, _NBB_H)
+    top = sc.top_k_in_clusters(corr, k_final)
+
+    def pts(lst):
+        return np.asarray([[int(p[0]), int(p[1])] for p in lst], np.int64)
+
+    def rsp(lst):
+        return np.asarray([float(v) for v in lst], np.float32)
+
+    np.savez(
+        OUT / "nbb_correspondence.npz",
+        img_a=img_a, img_b=img_b,
+        **{f"pyr_a_{i+1}": p for i, p in enumerate(pyr_a)},
+        **{f"pyr_b_{i+1}": p for i, p in enumerate(pyr_b)},
+        pts_a=pts(corr[0]), pts_b=pts(corr[1]), resp=rsp(corr[2]),
+        top_a=pts(top[0]), top_b=pts(top[1]), top_resp=rsp(top[2]),
+        tau=tau, k_per_level=k_per_level, k_final=k_final, border=border)
+    print("nbb golden:", len(corr[0]), "correspondences,",
+          len(top[0]), "top-k")
+
+
 if __name__ == "__main__":
     make_dilated_resnet_golden()
     make_segzoo_golden()
@@ -617,4 +763,5 @@ if __name__ == "__main__":
     make_stylegan_golden()
     make_bisenet_golden()
     make_upernet_golden()
+    make_nbb_golden()
     make_real_weight_goldens()

@@ -4,7 +4,48 @@ import numpy as np
 import pytest
 
 from rewriting_tpu.baselines.nbb import (mls_warp, mutual_nearest_neighbors,
-                                         neural_best_buddies, poisson_blend)
+                                         neural_best_buddies, poisson_blend,
+                                         sparse_correspondence,
+                                         top_k_in_clusters, warp,
+                                         warp_to_mid, identity_map)
+
+
+def test_nbb_golden_correspondence(goldens):
+    """The rebuilt engine reproduces the reference NBB algorithm exactly
+    on the golden fixture: same correspondences in the same order, same
+    accumulated responses, same k-means top-k selection (fixture made by
+    scripts/make_goldens.py:make_nbb_golden driving the reference's
+    algorithms/neural_best_buddies.py over a shared feature pyramid)."""
+    pytest.importorskip("sklearn")
+    g = goldens("nbb_correspondence")
+    pyr_a = [g[f"pyr_a_{i}"] for i in range(1, 6)]
+    pyr_b = [g[f"pyr_b_{i}"] for i in range(1, 6)]
+    pa, pb, resp = sparse_correspondence(
+        pyr_a, pyr_b, tau=float(g["tau"]),
+        k_per_level=int(g["k_per_level"]), border=int(g["border"]))
+    np.testing.assert_array_equal(pa, g["pts_a"])
+    np.testing.assert_array_equal(pb, g["pts_b"])
+    np.testing.assert_allclose(resp, g["resp"], atol=1e-5)
+    ta, tb, tr = top_k_in_clusters(pa, pb, resp, int(g["k_final"]))
+    np.testing.assert_array_equal(ta, g["top_a"])
+    np.testing.assert_array_equal(tb, g["top_b"])
+    np.testing.assert_allclose(tr, g["top_resp"], atol=1e-5)
+
+
+def test_nbb_warps():
+    rng = np.random.RandomState(3)
+    A = rng.rand(8, 8, 4).astype(np.float32)
+    B = rng.rand(8, 8, 4).astype(np.float32)
+    ident = identity_map(8, 8)
+    # identity mapping: warp is a no-op, warp_to_mid is the plain average
+    np.testing.assert_allclose(warp(B, 3, ident), B, atol=1e-6)
+    np.testing.assert_allclose(warp_to_mid(B, A, 3, ident), 0.5 * (A + B),
+                               atol=1e-6)
+    # a constant shift moves content (interior pixels away from pads)
+    shift = ident.copy()
+    shift[..., 1] = np.clip(shift[..., 1] + 2, 0, 7)
+    w = warp(B, 1, shift)  # patch 1: pure gather
+    np.testing.assert_allclose(w[:, :5], B[:, 2:7], atol=1e-6)
 
 
 def test_mutual_nn_identity():
