@@ -27,6 +27,58 @@ def _load_image(path: str) -> np.ndarray:
 from .segio import load_seg as _load_seg  # noqa: E402  (shared helper)
 
 
+def default_lpips_params(allow_random: bool = False):
+    """Resolve LPIPS weights from $REWRITING_TPU_WEIGHTS:
+    vgg16_features.pth (torchvision VGG16 features state dict) plus, when
+    present, lpips_vgg_lins.pth (the official PerceptualSimilarity
+    calibrated lin heads, converted by the validating
+    lpips.lins_from_state_dict); uniform heads otherwise."""
+    from ..models.zoo import _torch_load_numpy, weights_dir
+    from .lpips import LPIPS, params_from_torch
+    vgg_path = os.path.join(weights_dir(), "vgg16_features.pth")
+    lin_path = os.path.join(weights_dir(), "lpips_vgg_lins.pth")
+    if os.path.exists(vgg_path):
+        return params_from_torch(
+            _torch_load_numpy(vgg_path),
+            _torch_load_numpy(lin_path) if os.path.exists(lin_path)
+            else None)
+    if allow_random:
+        import jax
+        return LPIPS.init_params(jax.random.PRNGKey(0))
+    raise FileNotFoundError(
+        f"LPIPS weights not found ({vgg_path}); place a torchvision vgg16 "
+        "state dict there (and optionally lpips_vgg_lins.pth for the "
+        "calibrated official lin heads), or pass allow_random=True for a "
+        "pipeline smoke test — the resulting numbers are NOT calibrated "
+        "LPIPS.")
+
+
+class PerceptualLoss:
+    """Reference-parity LPIPS wrapper (reference metrics/distances.py
+    PerceptualLoss, :18-59): spatial net-lin VGG16 distance, callable as
+    ``loss(im0, im1, w=None)`` on NHWC zc arrays; with a mask ``w`` the
+    spatial map is mask-weight-normalized per image (reference :49-56).
+    The reference wraps it in nn.DataParallel (:28) — the jitted JAX
+    forward shards over devices instead."""
+
+    def __init__(self, net: str = "vgg", params=None,
+                 allow_random: bool = False):
+        if net != "vgg":
+            raise NotImplementedError(
+                f"net={net!r}: only the vgg backbone is built (the "
+                "reference experiments use net-lin vgg)")
+        from .lpips import LPIPS
+        self.model = LPIPS(spatial=True)
+        self.params = (params if params is not None
+                       else default_lpips_params(allow_random))
+
+    def __call__(self, im0, im1, w=None):
+        im0 = np.asarray(im0, np.float32)
+        if w is None:
+            w = np.ones(im0.shape[:3], np.float32)
+        return self.model(self.params, im0, np.asarray(im1, np.float32), w)
+
+
 def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,
                indices: Iterable[int], src: Sequence[int] = (1708,),
                srcc: int = 2, metric: str = "l1",
@@ -42,27 +94,10 @@ def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,
     indices = list(indices)
     total, count = 0.0, 0
     if metric.startswith("lpips") and lpips_model is None:
-        from .lpips import LPIPS, params_from_torch
+        from .lpips import LPIPS
         lpips_model = LPIPS(spatial=True)
         if lpips_params is None:
-            from ..models.zoo import _torch_load_numpy, weights_dir
-            vgg_path = os.path.join(weights_dir(), "vgg16_features.pth")
-            lin_path = os.path.join(weights_dir(), "lpips_vgg_lins.pth")
-            if os.path.exists(vgg_path):
-                lpips_params = params_from_torch(
-                    _torch_load_numpy(vgg_path),
-                    _torch_load_numpy(lin_path)
-                    if os.path.exists(lin_path) else None)
-            elif allow_random_lpips:
-                import jax
-                lpips_params = LPIPS.init_params(jax.random.PRNGKey(0))
-            else:
-                raise FileNotFoundError(
-                    f"LPIPS weights not found ({vgg_path}); place a "
-                    "torchvision vgg16 state dict there (and optionally "
-                    "lpips_vgg_lins.pth), or pass allow_random_lpips=True "
-                    "for a pipeline smoke test — the resulting numbers "
-                    "are NOT calibrated LPIPS.")
+            lpips_params = default_lpips_params(allow_random_lpips)
 
     for lo in range(0, len(indices), batch_size):
         chunk = indices[lo:lo + batch_size]

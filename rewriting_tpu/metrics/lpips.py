@@ -137,23 +137,71 @@ class LPIPS:
         return {"convs": convs, "lins": lins}
 
 
-def params_from_torch(vgg_sd, lpips_sd=None) -> Dict:
-    """Convert torchvision vgg16 'features.N.weight/bias' + LPIPS
-    'lin{k}.model.1.weight' heads (uniform heads if lpips_sd is None)."""
-    def as_np(v):
-        return np.asarray(getattr(v, "numpy", lambda: v)(), np.float32)
+# channels of the five tapped relu layers (relu1_2 .. relu5_3)
+_TAP_CHANNELS = (64, 128, 256, 512, 512)
 
+
+def _as_np(v):
+    return np.asarray(getattr(v, "numpy", lambda: v)(), np.float32)
+
+
+def lins_from_state_dict(lpips_sd) -> list:
+    """Validating converter for the official PerceptualSimilarity linear
+    ('lin') head checkpoint — the calibrated weights the reference's
+    net-lin LPIPS loads (reference metrics/distances.py:18-33 via the
+    PerceptualSimilarity submodule, weights/v0.1/vgg.pth).
+
+    Accepts the three historical key layouts
+    (``lin{i}.model.1.weight`` / ``lin{i}.1.weight`` / ``lin{i}.weight``),
+    checks every head's size against the VGG16 tap channel plan, and
+    rejects unconsumed tensors — any layout drift raises with a shape
+    table instead of silently mis-scaling distances (the slimnet.py
+    converter contract)."""
+    sd = {k: _as_np(v) for k, v in dict(lpips_sd).items()}
+    lins = []
+    for i, c in enumerate(_TAP_CHANNELS):
+        for key in (f"lin{i}.model.1.weight", f"lin{i}.1.weight",
+                    f"lin{i}.weight"):
+            if key in sd:
+                w = sd.pop(key)
+                break
+        else:
+            table = "\n".join(f"  {k}: {tuple(v.shape)}"
+                              for k, v in sorted(sd.items()))
+            raise KeyError(
+                f"no lin{i} head found in LPIPS checkpoint; tensors "
+                f"present:\n{table}\nIf the official vgg.pth uses other "
+                "key names, extend lins_from_state_dict in "
+                "rewriting_tpu/metrics/lpips.py.")
+        if w.size != c:
+            raise ValueError(
+                f"lin{i} head has {w.size} weights (shape "
+                f"{tuple(w.shape)}), expected {c} — not a VGG16 LPIPS "
+                "head checkpoint")
+        lins.append({"weight": jnp.asarray(w.reshape(-1))})
+    leftover = sorted(sd)
+    if leftover:
+        raise ValueError(f"unconsumed LPIPS tensors: {leftover}")
+    return lins
+
+
+def uniform_lins() -> list:
+    """The documented fallback when no calibrated heads are available:
+    equal per-channel weighting (distances remain monotone in perceptual
+    difference but are NOT calibrated LPIPS; see PARITY.md)."""
+    return [{"weight": jnp.full((c,), 1.0 / c, jnp.float32)}
+            for c in _TAP_CHANNELS]
+
+
+def params_from_torch(vgg_sd, lpips_sd=None) -> Dict:
+    """Convert torchvision vgg16 'features.N.weight/bias' (+ official
+    LPIPS lin heads via lins_from_state_dict; uniform heads if
+    lpips_sd is None)."""
     convs = []
     for idx in _CONV_IDXS:
-        w = as_np(vgg_sd[f"features.{idx}.weight"])
-        b = as_np(vgg_sd[f"features.{idx}.bias"])
+        w = _as_np(vgg_sd[f"features.{idx}.weight"])
+        b = _as_np(vgg_sd[f"features.{idx}.bias"])
         convs.append({"weight": jnp.asarray(w), "bias": jnp.asarray(b)})
-    tap_cs = [64, 128, 256, 512, 512]
-    lins = []
-    for i, c in enumerate(tap_cs):
-        if lpips_sd is not None:
-            w = as_np(lpips_sd[f"lin{i}.model.1.weight"]).reshape(-1)
-        else:
-            w = np.full((c,), 1.0 / c, np.float32)
-        lins.append({"weight": jnp.asarray(w)})
+    lins = (lins_from_state_dict(lpips_sd) if lpips_sd is not None
+            else uniform_lins())
     return {"convs": convs, "lins": lins}

@@ -120,6 +120,59 @@ def test_lpips_invariances():
     assert np.all(d_masked < d_full)
 
 
+def test_lpips_lin_head_converter():
+    """The validating converter accepts all three historical LPIPS 'lin'
+    checkpoint layouts and rejects wrong shapes / stray tensors (the
+    official PerceptualSimilarity vgg.pth drops in unchanged)."""
+    from rewriting_tpu.metrics.lpips import (_TAP_CHANNELS,
+                                             lins_from_state_dict,
+                                             uniform_lins)
+    rng = np.random.RandomState(0)
+    heads = [rng.rand(1, c, 1, 1).astype(np.float32)
+             for c in _TAP_CHANNELS]
+    for pattern in ("lin{i}.model.1.weight", "lin{i}.1.weight",
+                    "lin{i}.weight"):
+        sd = {pattern.format(i=i): h for i, h in enumerate(heads)}
+        lins = lins_from_state_dict(sd)
+        assert len(lins) == 5
+        for lin, h, c in zip(lins, heads, _TAP_CHANNELS):
+            assert lin["weight"].shape == (c,)
+            np.testing.assert_allclose(np.asarray(lin["weight"]),
+                                       h.reshape(-1))
+    sd = {f"lin{i}.model.1.weight": h for i, h in enumerate(heads)}
+    with pytest.raises(ValueError, match="unconsumed"):
+        lins_from_state_dict({**sd, "extra.weight": heads[0]})
+    bad = dict(sd)
+    bad["lin2.model.1.weight"] = heads[0]  # 64 weights where 256 expected
+    with pytest.raises(ValueError, match="lin2"):
+        lins_from_state_dict(bad)
+    with pytest.raises(KeyError, match="lin3"):
+        lins_from_state_dict({k: v for k, v in sd.items() if "lin3" not
+                              in k})
+    # the uniform fallback matches the tap plan
+    assert [u["weight"].shape[0] for u in uniform_lins()] == \
+        list(_TAP_CHANNELS)
+
+
+def test_perceptual_loss_wrapper():
+    """distances.PerceptualLoss: reference call signature (im0, im1, w)
+    with mask-normalized output; random weights for the smoke path."""
+    from rewriting_tpu.metrics.distances import PerceptualLoss
+    loss = PerceptualLoss(params=LPIPS.init_params(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(1)
+    a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    assert np.all(np.asarray(loss(a, a)) < 1e-6)
+    d = np.asarray(loss(a, b))
+    assert d.shape == (2,) and np.all(d > 1e-4)
+    w = np.zeros((2, 32, 32), np.float32)
+    w[:, :8] = 1.0
+    dm = np.asarray(loss(a, b, w))
+    assert dm.shape == (2,) and np.isfinite(dm).all()
+    with pytest.raises(NotImplementedError):
+        PerceptualLoss(net="alex")
+
+
 def test_seg_correct_mod_toy(tmp_path):
     before = tmp_path / "before"
     after = tmp_path / "after"

@@ -178,6 +178,34 @@ def test_upernet_real_weights_labels_church():
 # ---------------------------------------------------------------------------
 
 @requires("vgg16_features.pth")
+@requires("lpips_vgg_lins.pth")
+def test_lpips_real_lin_heads_convert_and_rescale():
+    """The official PerceptualSimilarity lin heads load through the
+    validating converter, and the calibrated distances differ from the
+    uniform-head fallback (the heads re-weight channels)."""
+    from rewriting_tpu.metrics.lpips import LPIPS, params_from_torch
+    from rewriting_tpu.models.zoo import _torch_load_numpy, weights_dir
+    vgg_sd = _torch_load_numpy(os.path.join(weights_dir(),
+                                            "vgg16_features.pth"))
+    lin_sd = _torch_load_numpy(os.path.join(weights_dir(),
+                                            "lpips_vgg_lins.pth"))
+    calibrated = params_from_torch(vgg_sd, lin_sd)
+    uniform = params_from_torch(vgg_sd, None)
+    for lin, c in zip(calibrated["lins"], (64, 128, 256, 512, 512)):
+        w = np.asarray(lin["weight"])
+        assert w.shape == (c,) and np.isfinite(w).all()
+        assert (w >= 0).all(), "official heads are non-negative"
+    lp = LPIPS(spatial=True)
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.3 * rng.randn(*a.shape).astype(np.float32), -1, 1)
+    d_cal = float(np.asarray(lp(calibrated, a, b))[0])
+    d_uni = float(np.asarray(lp(uniform, a, b))[0])
+    assert d_cal > 0 and d_uni > 0
+    assert abs(d_cal - d_uni) / max(d_cal, d_uni) > 1e-3
+
+
+@requires("vgg16_features.pth")
 def test_lpips_real_vgg_monotone():
     from rewriting_tpu.metrics.distances import PerceptualLoss
     loss = PerceptualLoss()
