@@ -134,19 +134,27 @@ def tensor_shard_params(model, params, mesh: Mesh, axis: str = "model"):
 
 
 def tensor_sharded_sampler(model, mesh: Mesh, axis_model: str = "model",
-                           axis_data: Optional[str] = None):
+                           axis_data: Optional[str] = None,
+                           fast: bool = True):
     """jitted (tp-sharded params, z[, noise]) -> images.
 
-    Runs the sequential pipeline (the bit-exact instrumentation/editing
-    surface): tp shards the channel axes, and the fast s2d tail's
-    space-to-depth reshapes interleave channel with spatial phase, which
-    would force GSPMD to re-shard at every tail stage.  Images come back
-    replicated, or sharded over ``axis_data`` for a 2-D dp x tp mesh."""
+    fast=True (default) runs the production ``pipeline_fast`` under tp:
+    the s2d tail's space-to-depth reshapes interleave channel with
+    spatial phase, but the tail only ever engages on <=32-channel layers,
+    so GSPMD's reshards there are tiny — measured on the 8-device mesh,
+    tp+fast compiles to the SAME all-reduce traffic as tp+seq plus ~4
+    small all-gathers (~10k elements total vs the ~1.6M-element
+    activation all-reduces; scripts/bench_tp_fast.py, docs/PERF_NOTES.md
+    round 4), so the fast tail's 2.2x layer-compute win carries over to
+    the >1-chip-HBM capacity case it was built for.  fast=False selects
+    the sequential pipeline (the bit-exact instrumentation/editing
+    surface).  Images come back replicated, or sharded over
+    ``axis_data`` for a 2-D dp x tp mesh."""
     out_spec = P(axis_data) if axis_data else P()
 
     @jax.jit
     def sample(params, z, noise=None):
-        images = model(params, z, noise, fast=False)
+        images = model(params, z, noise, fast=fast)
         return jax.lax.with_sharding_constraint(
             images, NamedSharding(mesh, out_spec))
     return sample

@@ -129,6 +129,36 @@ def test_tp_sampler_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=2e-5)
 
 
+def test_tp_composes_with_fast_tail():
+    """tp sharding composes with the production fast pipeline: with the
+    s2d tail engaged, the tp-sharded fast sampler matches the unsharded
+    fast forward (GSPMD's tail reshards are tiny — the tail only engages
+    on narrow layers; scripts/bench_tp_fast.py measures the collective
+    budget vs seq)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import tiny_channel_stylegan
+
+    mesh = _mesh(8, "model")
+    model = tiny_channel_stylegan(512)
+    assert model._s2d_tail, "fixture must engage the fast s2d tail"
+    params = model.init_params(jax.random.PRNGKey(9))
+    z = jax.random.normal(jax.random.PRNGKey(10), (2, model.z_dim))
+    noise = model.prepare_noise(2)
+
+    ref = np.asarray(model(params, z, noise, fast=True))
+    placed = tensor_shard_params(model, params, mesh, axis="model")
+    out = tensor_sharded_sampler(model, mesh, axis_model="model",
+                                 fast=True)(placed, z, noise)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=2e-5)
+    # and fast under tp == seq under tp (the e2e-exactness contract holds
+    # in the sharded program too)
+    out_seq = tensor_sharded_sampler(model, mesh, axis_model="model",
+                                     fast=False)(placed, z, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_seq),
+                               rtol=0, atol=2e-4)
+
+
 def test_tp_composes_with_dp():
     """2x2 data x model mesh: batch sharded over `data`, weights over
     `model`; output comes back sharded on the batch axis and matches
