@@ -416,6 +416,86 @@ def main():
         return median_ms(run_batched) / n_edits
     batched_ms_per_edit = guarded("batched_8edit", _batched_edits)
 
+    # ---- §5.2 watermark-removal reps + §5.3 overfit baseline on a REAL
+    # rewriter (reference make_watermark_images.py:61-74 and
+    # ganrewrite.py:300-331 workloads; BASELINE.md rows 2-3) ----
+    def _reference_workloads():
+        from rewriting_tpu.rewrite import SeqStyleGanRewriter
+        from rewriting_tpu.utils.zdataset import z_dataset_for_model
+        from rewriting_tpu.utils.renormalize import mask_to_url
+
+        def blob_url(h, w, cy, cx, r):
+            yy, xx = np.mgrid[0:h, 0:w]
+            return mask_to_url(
+                (((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r)
+                .astype(np.float32))
+
+        n_z = 10 if args.smoke else 1000  # reference stats scale
+        layernum = 4 if args.smoke else 8
+        zds = z_dataset_for_model(model, n_z)
+        # rewriter construction time = the reference's per-(model, layer)
+        # second-moment statistics workload (SURVEY §6; uncached here)
+        t0 = time.perf_counter()
+        gw = SeqStyleGanRewriter(model, params, zds, layernum=layernum,
+                                 stats_batch_size=min(100, n_z))
+        stats_s = time.perf_counter() - t0
+        h, w = gw.x_shape[1:3]
+        # watermark-ish corner mask (the §5.2 requests mask the overlay
+        # region; synthetic here — the workload cost is mask-independent)
+        corner = blob_url(h, w, h - h // 8, w // 8, h // 6)
+        req = {"paste": [1, corner], "key": [[0, corner], [1, corner]]}
+        erase = {}
+        nreps = 1 if args.smoke else 2  # watermark.sh uses --nreps 2
+        for drank in ((4,) if args.smoke else (30, 60)):
+            reps = []
+            for rep in range(nreps):
+                t0 = time.perf_counter()
+                gw.apply_erase(req, rank=1, drank=drank,
+                               niter=edit_iters, piter=10, lr=0.05)
+                jax.block_until_ready(gw.target_weight())
+                reps.append(time.perf_counter() - t0)
+            gw.revert()
+            # steady-state: later reps reuse every cached stat + compiled
+            # program; rep 0 carries the quantile/compile warmup
+            erase[f"watermark_erase_drank{drank}_ms_per_rep"] = round(
+                min(reps) * 1000.0, 1)
+        # §5.3 overfit baseline: all-params Adam + perceptual term; timed
+        # at two iteration counts so compile/prep cancels, reported as
+        # steady-state per-iter + the reference's 20001-iter total
+        import jax.random as jrandom
+        from rewriting_tpu.metrics.lpips import LPIPS, vgg16_taps
+        vgg_params = LPIPS.init_params(jrandom.PRNGKey(0))
+
+        def feats(img):
+            return vgg16_taps(vgg_params, img)[3]  # relu4_3 (~layer 20)
+
+        obj = blob_url(h, w, h // 2, w // 2, h // 6)
+        oreq = {"object": [0, obj], "paste": [1, corner]}
+        n1, n2 = (3, 7) if args.smoke else (51, 201)
+
+        def timed_overfit(niter):
+            t0 = time.perf_counter()
+            gw.apply_overfit(oreq, niter=niter, lr=0.01,
+                             feature_loss_fn=feats)
+            jax.block_until_ready(gw.params)
+            gw.revert()
+            return time.perf_counter() - t0
+        timed_overfit(n1)  # compile warmup (each call re-jits; later
+        # calls deserialize the identical HLO from the persistent cache)
+        t_a = timed_overfit(n1)
+        t_b = timed_overfit(n2)
+        per_iter_ms = (t_b - t_a) * 1000.0 / (n2 - n1)
+        return {
+            "rewriter_stats_1000z_s": round(stats_s, 2),
+            **erase,
+            "erase_reps": nreps,
+            "overfit_insert_ms_per_iter": round(per_iter_ms, 2),
+            "overfit_insert_20001iter_extrapolated_s": round(
+                per_iter_ms * 20001 / 1000.0, 1),
+        }
+
+    workloads = guarded("reference_workloads", _reference_workloads, {})
+
     # ---- small end-to-end pipeline: sample -> save PNG -> segment ->
     # FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
     def _small_pipeline():
@@ -580,6 +660,7 @@ def main():
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},
         "precision_quality_vs_highest": quality,
+        **workloads,
         **scales,
         **pipeline,
         **({"failed_stages": failed_stages} if failed_stages else {}),
