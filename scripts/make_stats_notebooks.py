@@ -269,12 +269,26 @@ counts = np.asarray(rb.result())
  for i in np.argsort(-counts)[:8] if counts[i] > 0]
 """),
         ("code", """\
-# image / segmentation visual check
+# image / segmentation visual check, built incrementally with show.a
+# (the reference stats notebooks' row-builder, utils/show.py:122-141)
 import PIL.Image
+from rewriting_tpu.utils import show as showmod
 imgs, seg = segs[0]
-show([[renormalize.as_image(imgs[i]),
-       PIL.Image.fromarray(segviz.segment_visualization(seg[i, 0]))]
-      for i in range(min(3, len(imgs)))])
+showmod.reset()
+for i in range(min(3, len(imgs))):
+    showmod.a(renormalize.as_image(imgs[i]))
+    showmod.a(PIL.Image.fromarray(segviz.segment_visualization(seg[i, 0])),
+              cols=2)
+showmod.flush()
+"""),
+        ("code", """\
+# color legend for the top labels in the first image
+# (segviz.segment_key / swatch_image, reference segviz.py:12-27)
+class _Labels:
+    def get_label_and_category_names(self):
+        return [(l, 'object') for l in seglabels], ['object']
+legend = segviz.segment_key(seg[0, 0], _Labels(), max_labels=5)
+show([[sw, name] for sw, name in legend])
 """),
     ]
     return nb(cells)
