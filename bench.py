@@ -222,6 +222,37 @@ def main():
         r = guarded("bf16_acts", _bf16_acts_rate)
         if r is not None:
             rates["bf16_acts"] = r
+
+    # per-layer mixed precision: fp32 trunk below MIXED_MIN_RES, bf16 MXU
+    # passes for the high-res tail where the FLOPs live (the measured
+    # schedule — sweep in docs/PERF_NOTES.md round 4; quality gate in the
+    # table below).  Exposed as models.stylegan2.mixed_precision_schedule.
+    from rewriting_tpu.models.stylegan2 import mixed_precision_schedule
+    from rewriting_tpu.ops.precision import set_precision_schedule
+    # measured optimum (scripts/bench_mixed_precision*.py sweeps,
+    # docs/PERF_NOTES.md round 4): bf16 layer convs from res 128 up,
+    # rgb skip chain kept fp32
+    MIXED_MIN_RES = 128
+
+    def _mixed_rate(b=tbl_batch, nz=tbl_noise):
+        set_precision("high")
+        set_precision_schedule(mixed_precision_schedule(MIXED_MIN_RES))
+        try:
+            fwd = tuned_jit(lambda z, p, n: model(p, z, n))
+            dt = timeit_distinct(fwd, zbatches(model, b), params, nz,
+                                 iters=iters)
+            return b / dt
+        finally:
+            set_precision_schedule(None)
+    mixed_full = None
+    if not args.smoke:
+        r = guarded("mixed", _mixed_rate)
+        if r is not None:
+            rates[f"mixed_{MIXED_MIN_RES}"] = r
+        # and at the headline batch (the quality-gated throughput row:
+        # 908 img/s/chip @ 50.4 dB measured on v5e, PERF_NOTES round 4)
+        mixed_full = guarded("mixed_full_batch",
+                             lambda: _mixed_rate(b=batch, nz=noise))
     # ---- quality gates: every throughput mode's output deviation vs the
     # fp32 'highest' reference on the SAME z batch (VERDICT round-2 weak
     # #6: speed-quality tradeoffs measured, not asserted).  PSNR over the
@@ -234,20 +265,28 @@ def main():
         zq = jax.random.normal(jax.random.PRNGKey(999),
                                (tbl_batch, model.z_dim))
 
-        def render(prec, cast=None):
+        def render(prec, cast=None, schedule=None):
             set_precision(prec)
-            f = tuned_jit(lambda z, p, n: model(p, z, n))
-            if cast is not None:
-                out = f(zq.astype(cast), _cast(params, cast),
-                        _cast(tbl_noise, cast))
-            else:
-                out = f(zq, params, tbl_noise)
-            return np.asarray(out, np.float32)
+            set_precision_schedule(schedule)
+            try:
+                f = tuned_jit(lambda z, p, n: model(p, z, n))
+                if cast is not None:
+                    out = f(zq.astype(cast), _cast(params, cast),
+                            _cast(tbl_noise, cast))
+                else:
+                    out = f(zq, params, tbl_noise)
+                return np.asarray(out, np.float32)
+            finally:
+                set_precision_schedule(None)
 
+        mixed_sched = mixed_precision_schedule(MIXED_MIN_RES)
+        modes = (("high", "high", None, None),
+                 ("default", "default", None, None),
+                 ("bf16_acts", "default", jnp.bfloat16, None),
+                 (f"mixed_{MIXED_MIN_RES}", "high", None, mixed_sched))
         ref_img = render("highest")
-        for mode, cast in (("high", None), ("default", None),
-                           ("bf16_acts", jnp.bfloat16)):
-            img = render("default" if mode == "bf16_acts" else mode, cast)
+        for mode, prec, cast, sched in modes:
+            img = render(prec, cast, sched)
             mse = float(np.mean((img - ref_img) ** 2))
             quality[mode] = {"psnr_db": round(
                 10.0 * np.log10(4.0 / max(mse, 1e-12)), 1)}
@@ -262,19 +301,23 @@ def main():
                                  (tbl_batch, model.z_dim))
                for i in range(n_q)]
 
-        def stats(prec, cast=None):
+        def stats(prec, cast=None, schedule=None):
             set_precision(prec)
-            f = tuned_jit(lambda z, p, n: model(p, z, n))
-            pp = params if cast is None else _cast(params, cast)
-            nn = tbl_noise if cast is None else _cast(tbl_noise, cast)
-            imgs = [np.asarray(f(z if cast is None else z.astype(cast),
-                                 pp, nn), np.float32) for z in zqs]
-            return compute_feature_stats(imgs, fe)
+            set_precision_schedule(schedule)
+            try:
+                f = tuned_jit(lambda z, p, n: model(p, z, n))
+                pp = params if cast is None else _cast(params, cast)
+                nn = tbl_noise if cast is None else _cast(tbl_noise, cast)
+                imgs = [np.asarray(f(z if cast is None
+                                     else z.astype(cast),
+                                     pp, nn), np.float32) for z in zqs]
+                return compute_feature_stats(imgs, fe)
+            finally:
+                set_precision_schedule(None)
 
         mu0, s0 = stats("highest")
-        for mode, cast in (("high", None), ("default", None),
-                           ("bf16_acts", jnp.bfloat16)):
-            mu, s = stats("default" if mode == "bf16_acts" else mode, cast)
+        for mode, prec, cast, sched in modes:
+            mu, s = stats(prec, cast, sched)
             quality[mode]["fid_rand_features"] = round(
                 calculate_frechet_distance(mu0, s0, mu, s), 4)
         return quality
@@ -659,6 +702,10 @@ def main():
         "edit_iters": edit_iters,
         "img_per_sec_by_precision": {k: round(v, 1)
                                      for k, v in rates.items()},
+        **({"mixed_img_per_sec_full_batch": round(mixed_full, 1),
+            "mixed_vs_baseline_unnormalized_v5p_target": round(
+                mixed_full / n_dev / 625.0, 4)}
+           if mixed_full else {}),
         "precision_quality_vs_highest": quality,
         **workloads,
         **scales,

@@ -72,16 +72,18 @@ class StagePipeline:
 
     # -- application ------------------------------------------------------
     def __call__(self, params: Dict[str, Any], bag: DataBag) -> DataBag:
+        from ..ops.precision import stage_scope
         for stage in self.stages:
             # a stage fn may opt into receiving the FULL params dict (set
             # fn._full_params = True) — used by fused fast-pipeline stages
             # that consume several reference stages' parameters in one
             # kernel (e.g. dconv+blur+noise+activate); the seq pipeline
             # never does this, so surgery semantics are unaffected
-            if getattr(stage.fn, "_full_params", False):
-                bag = stage.fn(params, bag)
-            else:
-                bag = stage.fn(params.get(stage.name, {}), bag)
+            with stage_scope(stage.name):
+                if getattr(stage.fn, "_full_params", False):
+                    bag = stage.fn(params, bag)
+                else:
+                    bag = stage.fn(params.get(stage.name, {}), bag)
         return bag
 
     # -- introspection ----------------------------------------------------

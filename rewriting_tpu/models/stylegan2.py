@@ -976,3 +976,66 @@ def params_from_state_dict(model: SeqStyleGAN2, sd: dict,
             f"checkpoint is missing {len(missing)} learned params "
             f"(e.g. {missing[:4]}); refusing a silent partial load")
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Per-layer mixed precision
+# ---------------------------------------------------------------------------
+
+def stage_resolution(name: str) -> Optional[int]:
+    """Output resolution of a SeqStyleGAN2 stage, inferred from its
+    reference-mirroring name (layerN / up_rgbN / to_rgbN); None for
+    resolution-free stages (style MLP, latents, noises, input, output)."""
+    m = re.match(r"layer(\d+)\.", name)
+    if m:
+        n = int(m.group(1))
+        return 4 if n == 2 else 2 ** ((n - 3) // 2 + 3)
+    m = re.match(r"up_rgb(\d+)$", name)
+    if m:
+        return 2 ** (int(m.group(1)) + 2)
+    m = re.match(r"to_rgb(\d+)\.", name)
+    if m:
+        n = int(m.group(1))
+        return 4 if n == 1 else 2 ** (n + 1)
+    return None
+
+
+def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
+                             keep_rgb: bool = True):
+    """The measured per-layer mixed-precision policy (VERDICT round-3
+    item 2; sweep in docs/PERF_NOTES.md round 4): stages whose output
+    resolution is >= min_res run their matmuls/convs at `tier` (bf16 MXU
+    passes), everything below — the style MLP and the early low-res
+    layers, whose errors are amplified through every subsequent upsample —
+    keeps the global policy (fp32 at "high"/"highest").
+
+    Install with::
+
+        from rewriting_tpu.ops import precision
+        precision.set_precision("high")
+        precision.set_precision_schedule(mixed_precision_schedule())
+
+    before the first jit trace.  The FLOPs live in the high-res tail, so
+    this buys most of the all-bf16 throughput while keeping the
+    quality-controlling trunk exact; the reference has no equivalent knob
+    (it is implicitly fp32 everywhere, setup/renv.yml:6-9).
+
+    The defaults are the measured optimum on v5e at 256 scale
+    (docs/PERF_NOTES.md round-4 sweep): min_res=128 + keep_rgb=True gives
+    908 img/s/chip at batch 128 — 1.62x the all-fp32 "high" mode — at
+    50.4 dB PSNR vs "highest" and random-feature FID delta 0.0.
+
+    keep_rgb=True additionally pins the output skip chain (up_rgb/to_rgb
+    stages) at the global precision regardless of resolution — those
+    1x1 convs write straight into the accumulated RGB output, so their
+    rounding hits the image un-attenuated, while they carry a tiny share
+    of the FLOPs (measured +PSNR at ~equal rate, docs/PERF_NOTES.md
+    round 4)."""
+    def schedule(stage_name: str) -> Optional[str]:
+        if keep_rgb and re.match(r"(up_rgb|to_rgb)\d+", stage_name):
+            return None
+        r = stage_resolution(stage_name)
+        if r is not None and r >= min_res:
+            return tier
+        return None
+    return schedule

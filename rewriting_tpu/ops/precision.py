@@ -19,21 +19,65 @@ Set the policy *before* the first jit trace of the functions you care about.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+from typing import Callable, Optional
+
 from jax import lax
 
 _PRECISION = "highest"
 
+# per-stage mixed-precision schedule: stage name -> tier override (or None
+# to keep the global tier).  Consulted only while a pipeline stage scope
+# is active, so non-pipeline code (solvers, metrics) always sees the
+# global policy.  Like the global policy, set BEFORE the first jit trace.
+_SCHEDULE: Optional[Callable[[str], Optional[str]]] = None
+_CURRENT_STAGE: contextvars.ContextVar = contextvars.ContextVar(
+    "precision_stage", default=None)
+
+_TIERS = {"highest": lax.Precision.HIGHEST,
+          "high": lax.Precision.HIGH,
+          "default": lax.Precision.DEFAULT}
+
 
 def set_precision(p: str) -> None:
     global _PRECISION
-    assert p in ("highest", "high", "default"), p
+    assert p in _TIERS, p
     _PRECISION = p
 
 
+def set_precision_schedule(
+        schedule: Optional[Callable[[str], Optional[str]]]) -> None:
+    """Install (or clear, with None) a per-stage precision schedule.
+
+    ``schedule(stage_name)`` returns a tier name to override the global
+    policy for ops traced inside that pipeline stage, or None to keep it.
+    See models.stylegan2.mixed_precision_schedule for the measured
+    per-resolution policy (docs/PERF_NOTES.md round 4)."""
+    global _SCHEDULE
+    _SCHEDULE = schedule
+
+
+@contextlib.contextmanager
+def stage_scope(name: str):
+    """Marks ops traced within as belonging to pipeline stage `name`
+    (entered by StagePipeline around every stage call)."""
+    token = _CURRENT_STAGE.set(name)
+    try:
+        yield
+    finally:
+        _CURRENT_STAGE.reset(token)
+
+
 def get_precision() -> lax.Precision:
-    return {"highest": lax.Precision.HIGHEST,
-            "high": lax.Precision.HIGH,
-            "default": lax.Precision.DEFAULT}[_PRECISION]
+    tier = _PRECISION
+    if _SCHEDULE is not None:
+        stage = _CURRENT_STAGE.get()
+        if stage is not None:
+            override = _SCHEDULE(stage)
+            if override is not None:
+                tier = override
+    return _TIERS[tier]
 
 
 def cast_pytree(tree, dtype):

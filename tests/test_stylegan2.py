@@ -179,6 +179,57 @@ def test_bf16_acts_quality_gate(goldens):
     assert psnr > 30.0, psnr
 
 
+def test_mixed_precision_schedule():
+    """Per-layer precision: stage_resolution maps every SeqStyleGAN2
+    stage name to its output resolution, and an installed schedule
+    overrides get_precision only inside matching stage scopes (the
+    numeric effect is TPU-only — CPU computes fp32 at every tier — so the
+    quality/throughput table lives in bench.py / docs/PERF_NOTES.md)."""
+    from jax import lax
+    from rewriting_tpu.models.stylegan2 import (mixed_precision_schedule,
+                                                stage_resolution)
+    from rewriting_tpu.ops import precision
+
+    assert stage_resolution("layer2.conv.mconv.dconv") == 4
+    assert stage_resolution("layer3.sconv.mconv.dconv") == 8
+    assert stage_resolution("layer4.sconv.activate") == 8
+    assert stage_resolution("layer5.sconv.mconv.adain") == 16
+    assert stage_resolution("layer12.sconv.mconv.dconv") == 128
+    assert stage_resolution("up_rgb1") == 8
+    assert stage_resolution("to_rgb1.rgb") == 4
+    assert stage_resolution("to_rgb3.rgb") == 16
+    assert stage_resolution("style.3") is None
+    assert stage_resolution("input") is None
+
+    precision.set_precision("highest")
+    precision.set_precision_schedule(
+        mixed_precision_schedule(min_res=16, tier="default",
+                                 keep_rgb=False))
+    try:
+        # outside any stage scope: global policy
+        assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("layer5.sconv.mconv.dconv"):  # res 16
+            assert precision.get_precision() == lax.Precision.DEFAULT
+        with precision.stage_scope("layer4.sconv.mconv.dconv"):  # res 8
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("style.2"):
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("up_rgb7"):  # res 512
+            assert precision.get_precision() == lax.Precision.DEFAULT
+        # keep_rgb (the measured default): rgb skip chain stays global
+        precision.set_precision_schedule(
+            mixed_precision_schedule(min_res=16, tier="default"))
+        with precision.stage_scope("up_rgb7"):
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("to_rgb5.rgb"):
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("layer5.sconv.mconv.dconv"):
+            assert precision.get_precision() == lax.Precision.DEFAULT
+    finally:
+        precision.set_precision_schedule(None)
+    assert precision.get_precision() == lax.Precision.HIGHEST
+
+
 def test_fused_upconv_pipeline_matches_seq(goldens):
     """With the fused up-conv+blur kernel forced on, pipeline_fast must
     stay e2e fp32-tolerance-exact vs the seq pipeline (interpret mode on
