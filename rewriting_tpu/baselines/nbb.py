@@ -115,11 +115,37 @@ def identity_map(h: int, w: int) -> np.ndarray:
     return np.stack([yy, xx], axis=-1)
 
 
-def upsample_mapping(mapping: np.ndarray, factor: int = 2) -> np.ndarray:
+def _fit_shape(arr: np.ndarray, shape) -> np.ndarray:
+    """Nearest index-resize of the leading two axes to (H, W)."""
+    th, tw = shape
+    sh, sw = arr.shape[:2]
+    if (sh, sw) == (th, tw):
+        return arr
+    yi = np.minimum((np.arange(th) * sh) // th, sh - 1)
+    xi = np.minimum((np.arange(tw) * sw) // tw, sw - 1)
+    return arr[yi][:, xi]
+
+
+def upsample_mapping(mapping: np.ndarray, factor: int = 2,
+                     shape=None) -> np.ndarray:
     """Nearest-upsample a (H, W, 2) coordinate map, scaling the stored
-    coordinates (reference upsample_mapping, :113-115)."""
-    m = factor * mapping
-    return m.repeat(factor, axis=0).repeat(factor, axis=1)
+    coordinates (reference upsample_mapping, :113-115).
+
+    `shape` gives the target (H, W) for pyramids whose levels are not
+    exact 2x halvings (odd sizes floor-halve through the extractor's
+    pools; the reference only ever sees square power-of-2-friendly inputs
+    where every level is exact): the grid is index-resized and the
+    coordinates scale by the true per-axis ratio.  When shape IS the
+    exact factor-multiple, this is bit-identical to the reference path."""
+    sh, sw = mapping.shape[:2]
+    if shape is None or tuple(shape) == (factor * sh, factor * sw):
+        m = factor * mapping
+        return m.repeat(factor, axis=0).repeat(factor, axis=1)
+    th, tw = shape
+    m = _fit_shape(mapping, shape).astype(np.float64)
+    cy = np.clip(np.rint(m[..., 0] * (th / sh)), 0, th - 1)
+    cx = np.clip(np.rint(m[..., 1] * (tw / sw)), 0, tw - 1)
+    return np.stack([cy, cx], axis=-1).astype(np.int64)
 
 
 def find_mapping(A: np.ndarray, B: np.ndarray, patch: int,
@@ -237,6 +263,29 @@ def warp_to_mid(B: np.ndarray, A: np.ndarray, patch: int,
     return out[d:d + h, d:d + w]
 
 
+def _kmeans_labels(feats: np.ndarray, k: int, iters: int = 50) -> np.ndarray:
+    """Deterministic Lloyd's k-means: first point + farthest-point init,
+    fixed iteration cap.  Fallback when scikit-learn is absent."""
+    n = len(feats)
+    centers = [feats[0]]
+    for _ in range(1, k):
+        d2 = np.min([((feats - c) ** 2).sum(1) for c in centers], axis=0)
+        centers.append(feats[int(np.argmax(d2))])
+    centers = np.stack(centers)
+    labels = np.full(n, -1, np.int64)
+    for _ in range(iters):
+        d2 = ((feats[:, None, :] - centers[None]) ** 2).sum(-1)
+        new_labels = d2.argmin(1)
+        if (new_labels == labels).all():
+            break
+        labels = new_labels
+        for i in range(k):
+            sel = feats[labels == i]
+            if len(sel):
+                centers[i] = sel.mean(0)
+    return labels
+
+
 def top_k_in_clusters(pts_a, pts_b, resp, k: int):
     """Spatially-spread top-k: k-means the pairs in (ya, xa, yb, xb)
     space and keep the highest-response pair per cluster (reference
@@ -249,8 +298,16 @@ def top_k_in_clusters(pts_a, pts_b, resp, k: int):
         return pts_a, pts_b, resp
     feats = np.concatenate([np.asarray(pts_a, np.float64),
                             np.asarray(pts_b, np.float64)], axis=1)
-    from sklearn.cluster import KMeans
-    labels = KMeans(n_clusters=k, random_state=0).fit(feats).labels_
+    try:
+        from sklearn.cluster import KMeans
+        labels = KMeans(n_clusters=k, random_state=0).fit(feats).labels_
+    except ImportError:
+        # sklearn is optional: a deterministic Lloyd fallback (farthest-
+        # point init) keeps the spread-selection heuristic working; exact
+        # cluster boundaries may differ from the reference's sklearn
+        # k-means, which only matters for golden-parity tests (those skip
+        # without sklearn).
+        labels = _kmeans_labels(feats, k)
     keep = []
     for i in range(k):
         best, best_j = 0.0, None
@@ -264,18 +321,39 @@ def top_k_in_clusters(pts_a, pts_b, resp, k: int):
 
 
 def default_reconstruct(F: np.ndarray, src_level: int, dst_level: int,
-                        out_channels: int, seed: int = 0) -> np.ndarray:
+                        out_channels: int, seed: int = 0,
+                        out_shape=None) -> np.ndarray:
     """Deterministic stand-in for the reference's deconvolutional feature
     inversion (vgg19_model.deconve — an iterative optimization): nearest
     2x upsample per level step plus a fixed seeded linear projection into
     the finer level's channel count, rectified like the VGG taps it
-    imitates.  Pluggable: pass `reconstruct_fn` for the real thing."""
+    imitates.  Pluggable: pass `reconstruct_fn` for the real thing.
+    `out_shape` fits the result to the finer level's true (H, W) when the
+    pyramid is not an exact 2x halving (odd sizes)."""
     steps = src_level - dst_level
     out = F.repeat(2 ** steps, axis=0).repeat(2 ** steps, axis=1)
+    if out_shape is not None:
+        out = _fit_shape(out, out_shape)
     rng = np.random.RandomState(seed + 100 * src_level + dst_level)
     proj = rng.randn(F.shape[-1], out_channels).astype(F.dtype)
     proj /= math.sqrt(F.shape[-1])
     return np.maximum(out @ proj, 0.0)
+
+
+def _call_reconstruct(fn, F, src_level, dst_level, out_channels, out_shape):
+    """Invoke a reconstruct_fn, passing out_shape only if it accepts it
+    (legacy signatures predate non-exact-2x pyramid support), and fit the
+    result to the target shape either way."""
+    import inspect
+    try:
+        takes_shape = "out_shape" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        takes_shape = False
+    if takes_shape:
+        out = fn(F, src_level, dst_level, out_channels, out_shape=out_shape)
+    else:
+        out = fn(F, src_level, dst_level, out_channels)
+    return _fit_shape(np.asarray(out), out_shape)
 
 
 def sparse_correspondence(pyr_a: Sequence[np.ndarray],
@@ -363,15 +441,18 @@ def sparse_correspondence(pyr_a: Sequence[np.ndarray],
             # average with the true finer-level features
             F_An = np.asarray(pyr_a[L - 2], np.float32)
             F_Bn = np.asarray(pyr_b[L - 2], np.float32)
-            RB = reconstruct_fn(warp(F_B, patch, a2b), L, L - 1,
-                                F_An.shape[-1])
-            RA = reconstruct_fn(warp(F_A, patch, b2a), L, L - 1,
-                                F_Bn.shape[-1])
+            RB = _call_reconstruct(reconstruct_fn, warp(F_B, patch, a2b),
+                                   L, L - 1, F_An.shape[-1],
+                                   F_An.shape[:2])
+            RA = _call_reconstruct(reconstruct_fn, warp(F_A, patch, b2a),
+                                   L, L - 1, F_Bn.shape[-1],
+                                   F_Bn.shape[:2])
             F_Am = 0.5 * (F_An + RB)
             F_Bm = 0.5 * (F_Bn + RA)
             F_A, F_B = F_An, F_Bn
-            map_ab = upsample_mapping(a2b)
-            map_ba = upsample_mapping(b2a)
+            # non-exact halvings (odd sizes) resize to the true next shape
+            map_ab = upsample_mapping(a2b, shape=F_An.shape[:2])
+            map_ba = upsample_mapping(b2a, shape=F_Bn.shape[:2])
     # finalize (make_correspondence_unique + scale_correspondence +
     # remove_border_correspondence, :241-253, :289-301, :254-281)
     seen = set()
@@ -387,8 +468,13 @@ def sparse_correspondence(pyr_a: Sequence[np.ndarray],
     pts_a = pts_a * scale
     pts_b = pts_b * scale
     if border > 0:
-        image_width = pyr_a[0].shape[0] * 1  # finest level == image grid
-        hi = image_width - border
+        # per-axis bounds (y vs height, x vs width).  The reference forces
+        # square inputs (vgg19_model.py:27 image_height = image_width) and
+        # bounds both axes by image_width (:248-269), so this coincides
+        # with it on every input it supports while staying correct for
+        # non-square pyramids.
+        h0, w0 = pyr_a[0].shape[:2]
+        hi = np.array([h0 - border, w0 - border])
         ok = ((pts_a >= border) & (pts_a <= hi)
               & (pts_b >= border) & (pts_b <= hi)).all(axis=1)
         pts_a, pts_b, resp = pts_a[ok], pts_b[ok], resp[ok]

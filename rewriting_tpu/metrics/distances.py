@@ -56,17 +56,29 @@ def default_lpips_params(allow_random: bool = False):
 class PerceptualLoss:
     """Reference-parity LPIPS wrapper (reference metrics/distances.py
     PerceptualLoss, :18-59): spatial net-lin VGG16 distance, callable as
-    ``loss(im0, im1, w=None)`` on NHWC zc arrays; with a mask ``w`` the
-    spatial map is mask-weight-normalized per image (reference :49-56).
-    The reference wraps it in nn.DataParallel (:28) — the jitted JAX
-    forward shards over devices instead."""
+    ``loss(im0, im1, w=None)`` on NHWC zc arrays.  Matching the reference
+    forward (:49-56): with a mask ``w`` returns per-image scalars
+    ``sum(map * w) / sum(w)``; with ``w=None`` returns the RAW spatial
+    distance map, shaped (B, 1, H, W) like the reference's NCHW output,
+    for callers that do their own spatial weighting/indexing.
 
-    def __init__(self, net: str = "vgg", params=None,
+    ``use_gpu`` is accepted for signature parity and ignored (JAX places
+    computation itself; the reference uses it to pick .cuda() +
+    nn.DataParallel, :26-28 — the jitted forward shards over devices
+    instead).  ``precision`` accepts the reference's 'half'/'float'/
+    'double' values; compute runs fp32 either way (the TPU parity tier),
+    only input casting differs."""
+
+    def __init__(self, net: str = "vgg", use_gpu: bool = False,
+                 precision: str = "float", params=None,
                  allow_random: bool = False):
         if net != "vgg":
             raise NotImplementedError(
                 f"net={net!r}: only the vgg backbone is built (the "
                 "reference experiments use net-lin vgg)")
+        if precision not in ("half", "float", "double"):
+            raise ValueError(f"precision={precision!r}")
+        del use_gpu, precision
         from .lpips import LPIPS
         self.model = LPIPS(spatial=True)
         self.params = (params if params is not None
@@ -74,9 +86,11 @@ class PerceptualLoss:
 
     def __call__(self, im0, im1, w=None):
         im0 = np.asarray(im0, np.float32)
+        im1 = np.asarray(im1, np.float32)
         if w is None:
-            w = np.ones(im0.shape[:3], np.float32)
-        return self.model(self.params, im0, np.asarray(im1, np.float32), w)
+            dist = self.model.distance_map(self.params, im0, im1)
+            return dist[:, None, :, :]          # (B, 1, H, W), ref NCHW
+        return self.model(self.params, im0, im1, w)
 
 
 def compute_dl(before_imgs: str, before_seg: str, after_imgs: str,

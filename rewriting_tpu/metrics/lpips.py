@@ -79,6 +79,30 @@ class LPIPS:
     def __init__(self, spatial: bool = True):
         self.spatial = spatial
         self._jitted = jax.jit(self._forward)
+        self._jitted_map = jax.jit(self._spatial_map)
+
+    def _spatial_map(self, params, a, b):
+        """The full-resolution spatial distance map (B, H, W): per-tap
+        lin-weighted squared diffs, bilinear-upsampled and summed over
+        taps (what the reference's spatial net-lin forward returns when
+        called without a mask)."""
+        def prep(x):
+            return (x - _SHIFT) / _SCALE
+        taps_a = vgg16_taps(params, prep(jnp.asarray(a, jnp.float32)))
+        taps_b = vgg16_taps(params, prep(jnp.asarray(b, jnp.float32)))
+        h, w = a.shape[1:3]
+        total = 0.0
+        for i, (fa, fb) in enumerate(zip(taps_a, taps_b)):
+            diff = jnp.square(_unit_normalize(fa) - _unit_normalize(fb))
+            lin = jnp.maximum(params["lins"][i]["weight"], 0.0)  # (C,)
+            dist = jnp.einsum("bhwc,c->bhw", diff, lin)
+            total = total + jax.image.resize(
+                dist, (dist.shape[0], h, w), method="bilinear")
+        return total
+
+    def distance_map(self, params, a, b):
+        """(B, H, W) spatial LPIPS map (requires spatial=True semantics)."""
+        return self._jitted_map(params, a, b)
 
     def _forward(self, params, a, b, mask=None):
         # imagenet-style scaling (the LPIPS 'ScalingLayer')

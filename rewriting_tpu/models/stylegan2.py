@@ -1030,7 +1030,13 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
     1x1 convs write straight into the accumulated RGB output, so their
     rounding hits the image un-attenuated, while they carry a tiny share
     of the FLOPs (measured +PSNR at ~equal rate, docs/PERF_NOTES.md
-    round 4)."""
+    round 4).
+
+    Scope: the schedule applies to SAMPLING — direct pipeline calls.  The
+    rewriting engine's numerics (key/goal extraction, second-moment stats,
+    every solver, and rewriter-side renders) pin the global parity tier
+    even while a schedule is installed (ops/precision.schedule_suspended),
+    so installing one never changes an edit."""
     def schedule(stage_name: str) -> Optional[str]:
         if keep_rgb and re.match(r"(up_rgb|to_rgb)\d+", stage_name):
             return None

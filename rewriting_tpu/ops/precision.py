@@ -29,11 +29,16 @@ _PRECISION = "highest"
 
 # per-stage mixed-precision schedule: stage name -> tier override (or None
 # to keep the global tier).  Consulted only while a pipeline stage scope
-# is active, so non-pipeline code (solvers, metrics) always sees the
-# global policy.  Like the global policy, set BEFORE the first jit trace.
+# is active.  The rewriter's solve/stat paths run StagePipeline windows
+# too (their stage names match the schedule), so they pin the global
+# policy explicitly via schedule_suspended() — an installed sampling
+# schedule must never degrade the edit math.  Like the global policy,
+# set BEFORE the first jit trace.
 _SCHEDULE: Optional[Callable[[str], Optional[str]]] = None
 _CURRENT_STAGE: contextvars.ContextVar = contextvars.ContextVar(
     "precision_stage", default=None)
+_SCHEDULE_SUSPENDED: contextvars.ContextVar = contextvars.ContextVar(
+    "precision_schedule_suspended", default=False)
 
 _TIERS = {"highest": lax.Precision.HIGHEST,
           "high": lax.Precision.HIGH,
@@ -69,9 +74,39 @@ def stage_scope(name: str):
         _CURRENT_STAGE.reset(token)
 
 
+@contextlib.contextmanager
+def schedule_suspended():
+    """Pin the GLOBAL policy for ops traced within: per-stage schedule
+    overrides are ignored.  The rewriter's solver and statistics entry
+    points (solve.insert_solve / linear variants, all_weights_insert,
+    collect_2nd_moment) enter this around their traces so that a
+    mixed-precision *sampling* schedule never leaks into the edit math,
+    whose contract is the global parity tier.  Trace-time semantics: like
+    the rest of the policy, the suspension must be active when the jitted
+    function is first traced."""
+    token = _SCHEDULE_SUSPENDED.set(True)
+    try:
+        yield
+    finally:
+        _SCHEDULE_SUSPENDED.reset(token)
+
+
+def suspend_schedule_in(fn):
+    """Wrap fn so ops traced inside it ignore the per-stage schedule.
+    Works under jit: the suspension contextvar is live while the wrapped
+    body executes, which is when tracing reads the policy."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with schedule_suspended():
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def get_precision() -> lax.Precision:
     tier = _PRECISION
-    if _SCHEDULE is not None:
+    if _SCHEDULE is not None and not _SCHEDULE_SUSPENDED.get():
         stage = _CURRENT_STAGE.get()
         if stage is not None:
             override = _SCHEDULE(stage)

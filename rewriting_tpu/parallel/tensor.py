@@ -142,9 +142,10 @@ def tensor_sharded_sampler(model, mesh: Mesh, axis_model: str = "model",
     the s2d tail's space-to-depth reshapes interleave channel with
     spatial phase, but the tail only ever engages on <=32-channel layers,
     so GSPMD's reshards there are tiny — measured on the 8-device mesh,
-    tp+fast compiles to the SAME all-reduce traffic as tp+seq plus ~4
-    small all-gathers (~10k elements total vs the ~1.6M-element
-    activation all-reduces; scripts/bench_tp_fast.py, docs/PERF_NOTES.md
+    tp+fast compiles to the SAME all-reduce budget as tp+seq (9 ops,
+    marginally fewer elements) plus ~4 small all-gathers (~10k elements
+    total vs the ~9.1M-element activation all-reduces;
+    scripts/bench_tp_fast.py, docs/PERF_NOTES.md
     round 4), so the fast tail's 2.2x layer-compute win carries over to
     the >1-chip-HBM capacity case it was built for.  fast=False selects
     the sequential pipeline (the bit-exact instrumentation/editing

@@ -85,9 +85,17 @@ class GanRewriter:
         self.rendering_pipe = pipe.subsequence(after_layer=self.lastlayer)
 
         from ..ops.jitopts import tuned_jit
-        self._context = tuned_jit(self.context_pipe.__call__)
-        self._target = tuned_jit(self.target_pipe.__call__)
-        self._render = tuned_jit(self.rendering_pipe.__call__)
+        from ..ops.precision import suspend_schedule_in
+        # the whole editing engine is a parity surface: keys, goals, stats,
+        # solves, and rewriter-side renders all pin the GLOBAL precision
+        # tier even when a mixed-precision *sampling* schedule is installed
+        # (ops/precision.py schedule_suspended)
+        self._context = tuned_jit(suspend_schedule_in(
+            self.context_pipe.__call__))
+        self._target = tuned_jit(suspend_schedule_in(
+            self.target_pipe.__call__))
+        self._render = tuned_jit(suspend_schedule_in(
+            self.rendering_pipe.__call__))
 
         # stable-identity window fn for the jitted solve: only the target
         # weight is optimized; all other params ride along as traced inputs
@@ -195,9 +203,11 @@ class GanRewriter:
         if cached is not None:
             r = running.RunningSecondMoment.from_state_dict(cached)
         else:
-            r = tally.tally_second_moment_scan(
-                self._key_rows_fn(), self.zds.zs, self.stats_batch_size,
-                mesh=self.mesh)
+            from ..ops import precision
+            with precision.schedule_suspended():  # stats pin the global tier
+                r = tally.tally_second_moment_scan(
+                    self._key_rows_fn(), self.zds.zs, self.stats_batch_size,
+                    mesh=self.mesh)
             tally.save_cached_state(cachefile, r, args)
         return r.moment()
 
@@ -261,7 +271,10 @@ class GanRewriter:
             pipe, model = self.context_pipe, self.model
             from ..ops.jitopts import tuned_jit
 
+            from ..ops.precision import suspend_schedule_in
+
             @tuned_jit
+            @suspend_schedule_in
             def image_max_sel(params, key, zbatch):
                 acts = pipe(params, model.make_bag(zbatch))["fmap"]
                 heat = jnp.sum(acts * key[None, None, None, :], axis=-1)
@@ -577,12 +590,14 @@ class GanRewriter:
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        from ..ops import precision
         params = self.params
         opt_state = opt.init(params)
-        for it in range(niter):
-            params, opt_state, loss = step(params, opt_state)
-            if update_callback is not None and it % 50 == 0:
-                update_callback(it, loss)
+        with precision.schedule_suspended():  # pin the global parity tier
+            for it in range(niter):
+                params, opt_state, loss = step(params, opt_state)
+                if update_callback is not None and it % 50 == 0:
+                    update_callback(it, loss)
         self.params = params
 
     # -- edit-request entry points -------------------------------------------

@@ -23,6 +23,8 @@ import numpy as np
 import optax
 from jax import lax
 
+from ..ops import precision
+
 
 def _solve_jit(fn, static_argnames):
     """Backend-aware jit for the solve scans: on TPU, raise the scoped
@@ -167,9 +169,10 @@ def insert_solve(window_fn: Callable, weight0, goal_in, goal_out, direction,
     if return_timing:
         jax.block_until_ready(weight0)
         t0 = time.time()
-    w, losses = _insert_scan(window_fn, weight0, goal_in, goal_out,
-                             direction, niter, piter, lr,
-                             low_rank_insert, low_rank_gradient)
+    with precision.schedule_suspended():  # edit math pins the global tier
+        w, losses = _insert_scan(window_fn, weight0, goal_in, goal_out,
+                                 direction, niter, piter, lr,
+                                 low_rank_insert, low_rank_gradient)
     if return_timing:
         jax.block_until_ready(w)
         elapsed_ms = (time.time() - t0) * 1000.0
@@ -261,9 +264,10 @@ def fast_linear_insert_solve(conv_fn, tail_fn, goal_in_bag, params,
     if return_timing:
         jax.block_until_ready(w0)
         t0 = time.time()
-    w, losses = _fast_linear_scan(conv_fn, tail_fn,
-                                  (goal_in_bag, params), goal_out, w0,
-                                  direction, scale, niter, lr, use_demod)
+    with precision.schedule_suspended():  # edit math pins the global tier
+        w, losses = _fast_linear_scan(conv_fn, tail_fn,
+                                      (goal_in_bag, params), goal_out, w0,
+                                      direction, scale, niter, lr, use_demod)
     if return_timing:
         jax.block_until_ready(w)
         elapsed_ms = (time.time() - t0) * 1000.0
@@ -324,8 +328,9 @@ def linear_insert_solve(window_fn, weight0, goal_in, goal_out, direction,
     if return_timing:
         jax.block_until_ready(weight0)
         t0 = time.time()
-    w, losses = _linear_insert_scan(window_fn, weight0, goal_in, goal_out,
-                                    direction, niter, lr)
+    with precision.schedule_suspended():  # edit math pins the global tier
+        w, losses = _linear_insert_scan(window_fn, weight0, goal_in,
+                                        goal_out, direction, niter, lr)
     if return_timing:
         jax.block_until_ready(w)
         elapsed_ms = (time.time() - t0) * 1000.0

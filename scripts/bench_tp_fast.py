@@ -29,36 +29,47 @@ COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
 
 
 def collective_stats(compiled_text: str):
-    """{collective: (op count, total output elements)} from HLO text."""
-    stats = {}
-    for coll in COLLECTIVES:
-        elems = 0
-        cnt = 0
-        for m in re.finditer(
-                r"= (\w+)\[([\d,]*)\][^ ]* " + coll + r"\(",
-                compiled_text):
-            cnt += 1
-            n = 1
-            for d in m.group(2).split(","):
+    """{collective: (op count, total output elements)} from HLO text.
+
+    Parses every assignment whose op is a collective, including
+    tuple-shaped combined collectives (``= (f32[..], f32[..])
+    all-reduce(...)``) and async pairs (the ``-start`` row carries the
+    shape; ``-done`` rows are skipped to avoid double counting); warns on
+    any collective row whose shape it cannot parse rather than silently
+    undercounting."""
+    stats = {c: [0, 0] for c in COLLECTIVES}
+    unparsed = 0
+    pat = re.compile(r"= (.*?) (" + "|".join(COLLECTIVES)
+                     + r")(-start|-done)?\(")
+    for line in compiled_text.splitlines():
+        m = pat.search(line)
+        if m is None or m.group(3) == "-done":
+            continue
+        shapes = re.findall(r"\w+\[([\d,]*)\]", m.group(1))
+        if not shapes:
+            unparsed += 1
+            continue
+        n = 0
+        for s in shapes:
+            k = 1
+            for d in s.split(","):
                 if d:
-                    n *= int(d)
-            elems += n
-        if cnt:
-            stats[coll] = (cnt, elems)
-    return stats
+                    k *= int(d)
+            n += k
+        stats[m.group(2)][0] += 1
+        stats[m.group(2)][1] += n
+    if unparsed:
+        print(f"WARNING: {unparsed} collective rows had unparseable "
+              "shapes; counts below are a lower bound", file=sys.stderr)
+    return {c: tuple(v) for c, v in stats.items() if v[0]}
 
 
 def tiny_tail_model(size=512):
-    """Narrow-channel SeqStyleGAN2 whose s2d tail engages at CPU scale
-    (mirrors tests/conftest.tiny_channel_stylegan)."""
-    import rewriting_tpu.models.stylegan2 as sg
-    orig = sg.CHANNELS
-    sg.CHANNELS = lambda cm: {4: 16, 8: 16, 16: 16, 32: 16, 64: 16,
-                              128: 16, 256: 16, 512: 8, 1024: 8}
-    try:
-        return sg.SeqStyleGAN2(size=size, style_dim=32, n_mlp=1)
-    finally:
-        sg.CHANNELS = orig
+    """Narrow-channel SeqStyleGAN2 whose s2d tail engages at CPU scale —
+    the SAME fixture the exactness tests pin (tests/conftest.py)."""
+    sys.path.insert(0, "/root/repo/tests")
+    from conftest import tiny_channel_stylegan
+    return tiny_channel_stylegan(size)
 
 
 def main():

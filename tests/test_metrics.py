@@ -155,22 +155,31 @@ def test_lpips_lin_head_converter():
 
 
 def test_perceptual_loss_wrapper():
-    """distances.PerceptualLoss: reference call signature (im0, im1, w)
-    with mask-normalized output; random weights for the smoke path."""
+    """distances.PerceptualLoss: reference call semantics (reference
+    metrics/distances.py:49-56) — w=None returns the raw (B, 1, H, W)
+    spatial map, a mask returns per-image scalars; the reference's
+    use_gpu/precision kwargs are accepted; random weights for the smoke
+    path."""
     from rewriting_tpu.metrics.distances import PerceptualLoss
-    loss = PerceptualLoss(params=LPIPS.init_params(jax.random.PRNGKey(0)))
+    loss = PerceptualLoss(use_gpu=False, precision="float",
+                          params=LPIPS.init_params(jax.random.PRNGKey(0)))
     rng = np.random.RandomState(1)
     a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
     b = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
     assert np.all(np.asarray(loss(a, a)) < 1e-6)
     d = np.asarray(loss(a, b))
-    assert d.shape == (2,) and np.all(d > 1e-4)
+    assert d.shape == (2, 1, 32, 32) and np.all(d.mean((1, 2, 3)) > 1e-4)
     w = np.zeros((2, 32, 32), np.float32)
     w[:, :8] = 1.0
     dm = np.asarray(loss(a, b, w))
     assert dm.shape == (2,) and np.isfinite(dm).all()
+    # the mask path is the w-weighted normalization of the w=None map
+    expect = (d[:, 0] * w).sum((1, 2)) / w.sum((1, 2))
+    assert np.allclose(dm, expect, rtol=1e-5, atol=1e-7)
     with pytest.raises(NotImplementedError):
         PerceptualLoss(net="alex")
+    with pytest.raises(ValueError):
+        PerceptualLoss(precision="int8")
 
 
 def test_seg_correct_mod_toy(tmp_path):

@@ -66,6 +66,35 @@ def test_nbb_identical_images():
         assert abs(ya - yb) <= 2 and abs(xa - xb) <= 2
 
 
+def test_nbb_nonsquare_keeps_right_half():
+    """Per-axis border bounds: on a landscape pyramid, correspondences in
+    the right half (x > height) survive the border filter.  The reference
+    is square-only (vgg19_model.py:27) so its single image_width bound
+    coincides with this on every input it supports."""
+    rng = np.random.RandomState(4)
+    h, w = 16, 32
+    pyr = [rng.rand(h // 2 ** i, w // 2 ** i, 8).astype(np.float32) + 0.3
+           for i in range(3)]
+    pa, pb, _ = sparse_correspondence(pyr, pyr, tau=0.0, border=2)
+    assert len(pa) > 0
+    np.testing.assert_array_equal(pa, pb)  # identical pyramids: identity
+    assert pa[:, 1].max() > h  # right half not discarded
+    assert pa[:, 1].max() <= w - 2 and pa[:, 0].max() <= h - 2
+
+
+def test_nbb_odd_size_pyramid():
+    """Non-exact-2x pyramids (odd sizes floor-halve through pooling) run
+    end to end instead of crashing on a broadcast mismatch; pairs stay
+    in bounds."""
+    rng = np.random.RandomState(5)
+    img = rng.uniform(-1, 1, (36, 36, 3)).astype(np.float32)
+    pairs = neural_best_buddies(img[None], img[None], k=4)
+    assert len(pairs) > 0
+    for (ya, xa), (yb, xb) in pairs:
+        assert 0 <= ya < 36 and 0 <= xa < 36
+        assert abs(ya - yb) <= 4 and abs(xa - xb) <= 4
+
+
 def test_mls_identity_and_translation():
     rng = np.random.RandomState(2)
     img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)

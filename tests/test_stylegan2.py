@@ -230,6 +230,42 @@ def test_mixed_precision_schedule():
     assert precision.get_precision() == lax.Precision.HIGHEST
 
 
+def test_precision_schedule_suspension():
+    """The editing engine's parity guarantee: schedule_suspended() pins
+    the global tier even inside a matching stage scope, and
+    suspend_schedule_in keeps the suspension live across a jit trace —
+    the mechanism by which the rewriter's solvers/stats/key-extraction
+    ignore an installed mixed-precision SAMPLING schedule
+    (ops/precision.py; the solver entry points enter it)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rewriting_tpu.models.stylegan2 import mixed_precision_schedule
+    from rewriting_tpu.ops import precision
+
+    precision.set_precision("highest")
+    precision.set_precision_schedule(
+        mixed_precision_schedule(min_res=16, tier="default",
+                                 keep_rgb=False))
+    seen = []
+
+    def probe(x):
+        seen.append(precision.get_precision())  # read at trace time
+        return x * 1.0
+
+    try:
+        with precision.stage_scope("layer5.sconv.mconv.dconv"):  # res 16
+            probe(jnp.ones(()))
+            with precision.schedule_suspended():
+                probe(jnp.ones(()))
+            jax.jit(precision.suspend_schedule_in(probe))(jnp.ones(()))
+    finally:
+        precision.set_precision_schedule(None)
+    assert seen[0] == lax.Precision.DEFAULT    # schedule applies
+    assert seen[1] == lax.Precision.HIGHEST    # suspended: global tier
+    assert seen[2] == lax.Precision.HIGHEST    # suspended through jit
+
+
 def test_fused_upconv_pipeline_matches_seq(goldens):
     """With the fused up-conv+blur kernel forced on, pipeline_fast must
     stay e2e fp32-tolerance-exact vs the seq pipeline (interpret mode on
