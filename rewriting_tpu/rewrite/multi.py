@@ -103,7 +103,9 @@ def batch_apply_edits(gw, requests: Sequence[dict], rank: int = 1,
         run = jax.jit(sharded)
     else:
         run = jax.jit(vsolve)
-    weights, final_losses = run(stacked_bag, goal_outs, directions)
+    from ..ops import precision
+    with precision.schedule_suspended():  # edit math pins the global tier
+        weights, final_losses = run(stacked_bag, goal_outs, directions)
     return [weights[i] for i in range(len(requests))], np.asarray(
         final_losses)
 
@@ -126,6 +128,8 @@ def preview_edits(gw, edited_weights: Sequence, z,
         return gw.rendering_pipe(
             p, gw.target_pipe(p, gw.context_pipe(p, bag)))["output"]
 
-    if batched:
-        return np.asarray(jax.jit(jax.vmap(render))(stacked))
-    return np.stack([np.asarray(render(w)) for w in stacked])
+    from ..ops import precision
+    with precision.schedule_suspended():  # rewriter renders pin the tier
+        if batched:
+            return np.asarray(jax.jit(jax.vmap(render))(stacked))
+        return np.stack([np.asarray(render(w)) for w in stacked])
