@@ -159,6 +159,37 @@ def test_tp_composes_with_fast_tail():
                                rtol=0, atol=2e-4)
 
 
+def test_tp_composes_with_mixed_schedule():
+    """An installed mixed-precision sampling schedule composes with the
+    tp-sharded sampler: the per-stage scopes are plain contextvars read
+    at trace time, so GSPMD sharding sees the same per-stage tiers as the
+    unsharded forward and matches it (each tier may pick different conv
+    algorithms even on CPU, so the reference is the unsharded forward
+    under the SAME schedule)."""
+    from rewriting_tpu.models.stylegan2 import mixed_precision_schedule
+    from rewriting_tpu.ops import precision
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import tiny_channel_stylegan
+
+    mesh = _mesh(8, "model")
+    model = tiny_channel_stylegan(64)
+    params = model.init_params(jax.random.PRNGKey(11))
+    z = jax.random.normal(jax.random.PRNGKey(12), (2, model.z_dim))
+    noise = model.prepare_noise(2)
+    placed = tensor_shard_params(model, params, mesh, axis="model")
+    precision.set_precision_schedule(mixed_precision_schedule(min_res=16))
+    try:
+        ref = np.asarray(model(params, z, noise))
+        out = tensor_sharded_sampler(model, mesh, axis_model="model")(
+            placed, z, noise)
+    finally:
+        precision.set_precision_schedule(None)
+    # sharded reassociation at the DEFAULT-tier stages lands a few
+    # elements marginally past the usual 2e-5 fp32 bound
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=5e-5)
+
+
 def test_tp_composes_with_dp():
     """2x2 data x model mesh: batch sharded over `data`, weights over
     `model`; output comes back sharded on the batch axis and matches
