@@ -72,7 +72,7 @@ def main():
           flush=True)
 
     configs = [("high", "high", None)]
-    for mr in (256, 128, 64, 32, 16):
+    for mr in (1024, 512, 256, 128, 64, 32, 16):
         if mr <= size:
             configs.append((f"mixed_{mr}", "high", mr))
     configs.append(("default", "default", None))
