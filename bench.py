@@ -513,36 +513,56 @@ def main():
             return vgg16_taps(vgg_params, img)[3]  # relu4_3 (~layer 20)
 
         obj = blob_url(h, w, h // 2, w // 2, h // 6)
-        oreq = {"object": [0, obj], "paste": [1, corner]}
         n1, n2 = (3, 7) if args.smoke else (51, 401)  # wide spread: the
         # per-iter signal must clear ~0.3 s of tunnel/worker timing noise
 
-        def timed_overfit(niter):
+        # Build the overfit target ONCE (apply_overfit's selection stage,
+        # reference ganrewrite.py:171-181) and drive all_weights_insert
+        # directly.  x_target/bag are jit closure CONSTANTS of the Adam
+        # step, so they must be identical across calls or every rep
+        # recompiles; the starting params are a jit ARGUMENT, so a tiny
+        # per-rep scale keeps every timed dispatch value-distinct (the
+        # axon runtime serves repeated (program, input VALUES) pairs from
+        # a value cache — CLAUDE.md timing rule).  niter is a Python loop
+        # bound over ONE jitted step, so n1 and n2 share the program and
+        # a single warmup covers compile + remote program load.
+        rgb_clip, _, obj_area, _ = gw.rgb_from_selection(0, obj)
+        host_z, changed_rgb, bounds = gw.rgbpaste_from_selection(
+            1, corner, rgb_clip, obj_area)
+        pristine = gw.params
+
+        def timed_overfit(niter, scale):
+            gw.params = jax.tree_util.tree_map(
+                lambda a: a * scale
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a, pristine)
             t0 = time.perf_counter()
-            gw.apply_overfit(oreq, niter=niter, lr=0.01,
-                             feature_loss_fn=feats)
+            gw.all_weights_insert(changed_rgb, host_z, bounds=bounds,
+                                  niter=niter, lr=0.01,
+                                  feature_loss_fn=feats)
             materialize(gw.target_weight())  # host fetch: block alone can
             # return before the dispatch ran (materialize() docstring)
-            gw.revert()
             return time.perf_counter() - t0
-        # niter is a scan bound, so n1 and n2 are DIFFERENT programs:
-        # warm both (compile + remote program load), then take the min of
-        # 2 reps each so a single worker hiccup can't invert the two-point
-        # difference (observed: t_b < t_a through tunnel noise).
-        timed_overfit(n1)
-        timed_overfit(n2)
-        t_a = min(timed_overfit(n1) for _ in range(2))
-        t_b = min(timed_overfit(n2) for _ in range(2))
+        timed_overfit(n1, 1.0)  # warmup: compile + remote program load
+        # min of 2 reps each so a single worker hiccup can't invert the
+        # two-point difference (observed: t_b < t_a through tunnel noise)
+        t_a = min(timed_overfit(n1, 1.0 + i * 1e-6) for i in (1, 2))
+        t_b = min(timed_overfit(n2, 1.0 + i * 1e-6) for i in (3, 4))
+        gw.params = pristine
         per_iter_ms = (t_b - t_a) * 1000.0 / (n2 - n1)
-        if per_iter_ms <= 0.0:
+        fallback = per_iter_ms <= 0.0
+        if fallback:
             # tunnel variance still swamped the spread; report the
             # whole-call upper bound rather than a nonsense negative
+            # (flagged: this amortizes per-call constants the two-point
+            # subtraction would have cancelled)
             per_iter_ms = t_b * 1000.0 / n2
         return {
             "rewriter_stats_1000z_s": round(stats_s, 2),
             **erase,
             "erase_reps": nreps,
             "overfit_insert_ms_per_iter": round(per_iter_ms, 2),
+            "overfit_insert_fallback": fallback,
             "overfit_insert_20001iter_extrapolated_s": round(
                 per_iter_ms * 20001 / 1000.0, 1),
         }

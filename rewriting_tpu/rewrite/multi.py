@@ -18,6 +18,7 @@ import numpy as np
 
 from ..core import DataBag
 from . import solve
+from ..ops import precision
 
 
 def build_goals(gw, requests: Sequence[dict], rank: int = 1):
@@ -103,7 +104,6 @@ def batch_apply_edits(gw, requests: Sequence[dict], rank: int = 1,
         run = jax.jit(sharded)
     else:
         run = jax.jit(vsolve)
-    from ..ops import precision
     with precision.schedule_suspended():  # edit math pins the global tier
         weights, final_losses = run(stacked_bag, goal_outs, directions)
     return [weights[i] for i in range(len(requests))], np.asarray(
@@ -128,7 +128,6 @@ def preview_edits(gw, edited_weights: Sequence, z,
         return gw.rendering_pipe(
             p, gw.target_pipe(p, gw.context_pipe(p, bag)))["output"]
 
-    from ..ops import precision
     with precision.schedule_suspended():  # rewriter renders pin the tier
         if batched:
             return np.asarray(jax.jit(jax.vmap(render))(stacked))

@@ -135,8 +135,6 @@ def test_tp_composes_with_fast_tail():
     fast forward (GSPMD's tail reshards are tiny — the tail only engages
     on narrow layers; scripts/bench_tp_fast.py measures the collective
     budget vs seq)."""
-    import sys
-    sys.path.insert(0, "tests")
     from conftest import tiny_channel_stylegan
 
     mesh = _mesh(8, "model")
@@ -168,8 +166,6 @@ def test_tp_composes_with_mixed_schedule():
     under the SAME schedule)."""
     from rewriting_tpu.models.stylegan2 import mixed_precision_schedule
     from rewriting_tpu.ops import precision
-    import sys
-    sys.path.insert(0, "tests")
     from conftest import tiny_channel_stylegan
 
     mesh = _mesh(8, "model")
