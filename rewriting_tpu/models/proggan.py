@@ -416,3 +416,46 @@ def from_tf_parameters(params) -> "tuple[ProgressiveGenerator, dict]":
     """(model, params) from original TF variables (reference
     proggan.py:200-208)."""
     return from_state_dict(state_dict_from_tf_parameters(params))
+
+
+# ---------------------------------------------------------------------------
+# Per-layer mixed precision (ProgGAN naming of the generic schedule in
+# ops/precision.py; the StyleGAN2 family's measured policy lives in
+# models/stylegan2.py:mixed_precision_schedule)
+# ---------------------------------------------------------------------------
+
+def stage_resolution(name: str) -> Optional[int]:
+    """Output resolution of a ProgressiveGenerator stage, inferred from
+    its reference-mirroring name (layerN.* / output_DxD.*, reference
+    proggan.py:110-129); None for resolution-free stages (input,
+    output)."""
+    import re
+    m = re.match(r"layer(\d+)\.", name)
+    if m:
+        n = int(m.group(1))
+        return 4 if n <= 2 else 2 ** ((n - 3) // 2 + 3)
+    m = re.match(r"output_(\d+)x", name)
+    if m:
+        return int(m.group(1))
+    return None
+
+
+def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
+                             keep_rgb: bool = True):
+    """ProgGAN per-layer mixed-precision policy: stages with output
+    resolution >= min_res run their convs at `tier` (bf16 MXU passes),
+    the low-res trunk keeps the global policy.  Same structure and
+    rationale as the StyleGAN2 schedule (docs/PERF_NOTES.md round 4);
+    keep_rgb pins the output_DxD 1x1 RGB conv block at the global tier —
+    it writes straight into the image, so its rounding is un-attenuated.
+    Install with ops.precision.set_precision_schedule BEFORE the first
+    trace; sampling-only (the rewriter's edit/stat paths suspend any
+    installed schedule)."""
+    def schedule(stage_name: str) -> Optional[str]:
+        if keep_rgb and stage_name.startswith("output_"):
+            return None
+        r = stage_resolution(stage_name)
+        if r is not None and r >= min_res:
+            return tier
+        return None
+    return schedule

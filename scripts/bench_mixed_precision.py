@@ -6,7 +6,9 @@ their convs at bf16 MXU precision ('default') while the trunk keeps fp32
 inputs, outputs referenced — bench.py recipe) and quality vs the fp32
 'highest' render (PSNR + random-feature Frechet delta).
 
-Usage:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_mixed_precision.py
+Usage:  PYTHONPATH=... python scripts/bench_mixed_precision.py \
+            [size] [batch] [iters] [family]
+family: stylegan2 (default) or proggan (models/proggan.py schedule).
 """
 
 import json
@@ -21,8 +23,6 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from bench import materialize, timeit_distinct  # noqa: E402
-from rewriting_tpu.models.stylegan2 import (SeqStyleGAN2,  # noqa: E402
-                                            mixed_precision_schedule)
 from rewriting_tpu.ops import precision  # noqa: E402
 from rewriting_tpu.ops.jitopts import tuned_jit  # noqa: E402
 
@@ -31,9 +31,18 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    model = SeqStyleGAN2(size=size, style_dim=512, n_mlp=8)
+    family = sys.argv[4] if len(sys.argv) > 4 else "stylegan2"
+    if family == "proggan":
+        from rewriting_tpu.models.proggan import (ProgressiveGenerator,
+                                                  mixed_precision_schedule)
+        model = ProgressiveGenerator(resolution=size)
+        noise = None
+    else:
+        from rewriting_tpu.models.stylegan2 import (SeqStyleGAN2,
+                                                    mixed_precision_schedule)
+        model = SeqStyleGAN2(size=size, style_dim=512, n_mlp=8)
+        noise = model.prepare_noise(batch)
     params = model.init_params(jax.random.PRNGKey(0))
-    noise = model.prepare_noise(batch)
     zs = [jax.random.normal(jax.random.PRNGKey(i), (batch, model.z_dim))
           for i in range(iters)]
     jax.block_until_ready(zs)
@@ -52,13 +61,15 @@ def main():
             None if min_res is None
             else mixed_precision_schedule(min_res=min_res))
         try:
-            fwd = tuned_jit(lambda z, p, n: model(p, z, n))
+            fwd = (tuned_jit(lambda z, p: model(p, z)) if noise is None
+                   else tuned_jit(lambda z, p, n: model(p, z, n)))
+            extra = () if noise is None else (noise,)
             t0 = time.time()
-            dt = timeit_distinct(fwd, zs, params, noise, iters=iters)
+            dt = timeit_distinct(fwd, zs, params, *extra, iters=iters)
             rate = batch / dt
-            img = np.asarray(fwd(zq, params, noise), np.float32)
+            img = np.asarray(fwd(zq, params, *extra), np.float32)
             mus = compute_feature_stats(
-                [np.asarray(fwd(z, params, noise), np.float32)
+                [np.asarray(fwd(z, params, *extra), np.float32)
                  for z in zqs], fe)
             return dict(rate=round(rate, 1), img=img, stats=mus,
                         wall=round(time.time() - t0, 1))
@@ -89,7 +100,8 @@ def main():
                           "psnr_db": psnr, "fid_rand_features": fd,
                           "wall_s": out["wall"]}), flush=True)
 
-    print("RESULT " + json.dumps({"size": size, "batch": batch,
+    print("RESULT " + json.dumps({"family": family,
+                                  "size": size, "batch": batch,
                                   "results": results}), flush=True)
 
 

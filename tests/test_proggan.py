@@ -93,3 +93,56 @@ def test_proggan_fast_s2d_tail_matches_seq():
     # small models have no qualifying layers: fast pipeline == seq stages
     m8 = ProgressiveGenerator(resolution=8)
     assert not m8._fast_overrides
+
+
+def test_proggan_mixed_precision_schedule():
+    """ProgGAN family mixed precision: stage_resolution maps every
+    pipeline stage name (verified against a constructed 256 model), and
+    an installed schedule overrides get_precision only inside matching
+    stage scopes, with keep_rgb pinning the output_DxD RGB block (the
+    numeric effect is TPU-only — CPU computes fp32 at every tier — so
+    the quality/throughput table lives in docs/PERF_NOTES.md)."""
+    from jax import lax
+    from rewriting_tpu.models import ProgressiveGenerator
+    from rewriting_tpu.models.proggan import (mixed_precision_schedule,
+                                              stage_resolution)
+    from rewriting_tpu.ops import precision
+
+    m = ProgressiveGenerator(resolution=256)
+    expected = {"layer1": 4, "layer2": 4, "layer3": 8, "layer4": 8,
+                "layer5": 16, "layer6": 16, "layer7": 32, "layer8": 32,
+                "layer9": 64, "layer10": 64, "layer11": 128,
+                "layer12": 128, "layer13": 256, "layer14": 256,
+                "output_256x256": 256, "input": None, "output": None}
+    for s in m.pipeline.stages:
+        assert stage_resolution(s.name) == expected[s.name.split(".")[0]]
+
+    precision.set_precision("highest")
+    precision.set_precision_schedule(
+        mixed_precision_schedule(min_res=128, tier="default"))
+    try:
+        assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("layer12.conv"):       # res 128
+            assert precision.get_precision() == lax.Precision.DEFAULT
+        with precision.stage_scope("layer10.conv"):       # res 64
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        with precision.stage_scope("output_256x256.conv"):  # keep_rgb
+            assert precision.get_precision() == lax.Precision.HIGHEST
+        precision.set_precision_schedule(
+            mixed_precision_schedule(min_res=128, tier="default",
+                                     keep_rgb=False))
+        with precision.stage_scope("output_256x256.conv"):
+            assert precision.get_precision() == lax.Precision.DEFAULT
+        # the schedule reaches real traces through StagePipeline's
+        # stage_scope and never disturbs CPU fp32 output
+        import numpy as np
+        precision.set_precision_schedule(
+            mixed_precision_schedule(min_res=128, tier="default"))
+        p = m.init_params(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, m.z_dim))
+        out = np.asarray(m(p, z))
+        precision.set_precision_schedule(None)
+        ref = np.asarray(m(p, z))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=2e-6)
+    finally:
+        precision.set_precision_schedule(None)
