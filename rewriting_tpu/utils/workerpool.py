@@ -22,11 +22,23 @@ import threading
 
 
 def default_nworkers(cap: int = 4) -> int:
-    """min(cap, cpu_count).  On small CI hosts a large writer pool starves
-    cooperating processes of cycles (observed: an nbclient notebook kernel
-    missing its heartbeat while an 8-worker save pool drained on 1 core);
-    scaling with the host keeps big machines fast and small ones stable."""
-    return max(1, min(cap, os.cpu_count() or 1))
+    """Worker count for the save/encode pools: `cap` by default,
+    constrained by the REWRITING_TPU_SAVE_WORKERS env var.
+
+    The caps (8 image writers / 4 seg writers) are the configuration the
+    round-3 pipeline numbers were measured with; on multi-core hosts the
+    encoders release the GIL (native PNG deflate, npz zlib) so the
+    threads parallelize, while a round-4 A/B on a 1-core TPU-tunnel host
+    found worker count makes no measurable difference there (the stages
+    are device->host transfer-bound — docs/PERF_NOTES.md round 4).  The
+    env knob exists for processes that must stay responsive while
+    cohabiting with the pools on a starved host: the test suite sets it
+    to cpu_count so writer threads can't starve an nbclient kernel's
+    heartbeat on 1-core CI (the round-3 DeadKernelError flake class)."""
+    env = os.environ.get("REWRITING_TPU_SAVE_WORKERS")
+    if env:
+        return max(1, min(cap, int(env)))
+    return max(1, cap)
 
 
 class WorkerBase:

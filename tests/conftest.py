@@ -18,6 +18,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Constrain the save/encode pools to the host's cores for the whole suite
+# (inherited by notebook kernels and workerpool subprocesses): full-size
+# writer pools sharing a 1-core CI host starved nbclient kernel
+# heartbeats (the round-3 DeadKernelError flake class).  Production
+# drivers keep the measured-fast caps — see workerpool.default_nworkers.
+os.environ.setdefault("REWRITING_TPU_SAVE_WORKERS",
+                      str(os.cpu_count() or 1))
+
 # Persistent compilation cache across test runs.
 jax.config.update("jax_compilation_cache_dir",
                   str(pathlib.Path(__file__).parent.parent / ".jax_cache"))
