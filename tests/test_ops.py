@@ -120,3 +120,67 @@ def test_conv3x3_s2d_matches_plain_conv():
         got = _conv3x3_s2d(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_weight_roundtrip_bound():
+    from rewriting_tpu.ops.quant import (quantize_weight_per_channel,
+                                         dequantize)
+    w = np.random.RandomState(3).randn(8, 16, 3, 3).astype(np.float32)
+    w_i8, scale = quantize_weight_per_channel(jnp.asarray(w), axis=0)
+    assert w_i8.dtype == jnp.int8 and scale.shape == (8, 1, 1, 1)
+    back = np.asarray(dequantize(w_i8, scale))
+    # symmetric rounding: per-element error <= half a quantization step
+    np.testing.assert_array_less(
+        np.abs(back - w),
+        np.broadcast_to(np.asarray(scale) / 2 + 1e-7, w.shape))
+    # all-zero channel must not produce nan/inf
+    w[0] = 0.0
+    w_i8, scale = quantize_weight_per_channel(jnp.asarray(w), axis=0)
+    assert np.isfinite(np.asarray(dequantize(w_i8, scale))).all()
+
+
+def test_conv2d_w8a8_matches_integer_emulation():
+    from rewriting_tpu.ops.quant import (conv2d_w8a8, quantize_activation,
+                                         quantize_weight_per_channel)
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 8, 8, 16).astype(np.float32)
+    w = (rng.randn(8, 16, 3, 3) * 0.1).astype(np.float32)
+    w_i8, w_scale = quantize_weight_per_channel(jnp.asarray(w), axis=0)
+    got = np.asarray(conv2d_w8a8(jnp.asarray(x), w_i8, w_scale))
+    # exact integer emulation in float64 (products fit exactly)
+    x_i8, x_scale = quantize_activation(jnp.asarray(x))
+    acc = jax.lax.conv_general_dilated(
+        np.asarray(x_i8, np.float64), np.asarray(w_i8, np.float64),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+    want = np.asarray(acc) * (float(x_scale)
+                              * np.asarray(w_scale).reshape(-1))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # and the quantized conv tracks the fp32 conv within quantization noise
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    rel = (np.linalg.norm(got - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.02, rel
+
+
+def test_conv2d_w8a8_lhs_dilation():
+    # the upsampling formulation (lhs_dilation=2) must quantize too
+    from rewriting_tpu.ops.quant import (conv2d_w8a8,
+                                         quantize_weight_per_channel)
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 6, 6, 8).astype(np.float32)
+    w = (rng.randn(8, 8, 3, 3) * 0.1).astype(np.float32)
+    w_i8, w_scale = quantize_weight_per_channel(jnp.asarray(w), axis=0)
+    got = np.asarray(conv2d_w8a8(jnp.asarray(x), w_i8, w_scale,
+                                 padding=((2, 2), (2, 2)),
+                                 lhs_dilation=(2, 2)))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST))
+    assert got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
