@@ -40,7 +40,8 @@ from jax import lax
 
 from ..core import DataBag, Stage, StagePipeline
 from ..ops import fused_leaky_relu, make_kernel, upsample2d, blur2d
-from ..ops.precision import get_precision
+from ..ops.precision import get_precision, int8_active
+from ..ops.quant import conv2d_w8a8, quantize_weight_per_channel
 
 CHANNELS = lambda cm: {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm,
                        128: 128 * cm, 256: 64 * cm, 512: 32 * cm,
@@ -186,18 +187,30 @@ def _make_dconv(in_c, out_c, kernel_size, demodulate, upsample):
             # torch F.conv_transpose2d(x, w.transpose(1,2)[0], stride=2) ==
             # dilated conv with the spatially-flipped kernel and k-1 padding.
             w = jnp.flip(w5[0], (-2, -1)) * scale      # (O, I, kh, kw)
-            out = lax.conv_general_dilated(
-                x, w, window_strides=(1, 1),
-                padding=((kernel_size - 1, kernel_size - 1),) * 2,
-                lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "OIHW", "NHWC"),
-                precision=get_precision())
+            pad = ((kernel_size - 1, kernel_size - 1),) * 2
+            if int8_active():
+                w_i8, w_scale = quantize_weight_per_channel(w, axis=0)
+                out = conv2d_w8a8(x, w_i8, w_scale, padding=pad,
+                                  lhs_dilation=(2, 2),
+                                  out_dtype=x.dtype)
+            else:
+                out = lax.conv_general_dilated(
+                    x, w, window_strides=(1, 1), padding=pad,
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                    precision=get_precision())
         else:
-            out = lax.conv_general_dilated(
-                x, w5[0] * scale, window_strides=(1, 1),
-                padding=((padding, padding), (padding, padding)),
-                dimension_numbers=("NHWC", "OIHW", "NHWC"),
-                precision=get_precision())
+            pad = ((padding, padding), (padding, padding))
+            if int8_active():
+                w_i8, w_scale = quantize_weight_per_channel(
+                    w5[0] * scale, axis=0)
+                out = conv2d_w8a8(x, w_i8, w_scale, padding=pad,
+                                  out_dtype=x.dtype)
+            else:
+                out = lax.conv_general_dilated(
+                    x, w5[0] * scale, window_strides=(1, 1), padding=pad,
+                    dimension_numbers=("NHWC", "OIHW", "NHWC"),
+                    precision=get_precision())
         if demodulate:
             # demod = rsqrt(sum_{I,kh,kw} (scale*W*style)^2 + 1e-8) per (B,O)
             # (reference models.py:324-328). Commutes with the conv, applied

@@ -104,7 +104,12 @@ def suspend_schedule_in(fn):
     return wrapped
 
 
-def get_precision() -> lax.Precision:
+def get_tier() -> str:
+    """Resolved tier NAME for the current trace point (global policy or
+    the active stage's schedule override).  Unlike get_precision this may
+    return "int8" — the quantized-MXU serving tier, which is not a
+    lax.Precision but a dtype swap handled at supporting conv sites (see
+    models.stylegan2._make_dconv / ops/quant.py)."""
     tier = _PRECISION
     if _SCHEDULE is not None and not _SCHEDULE_SUSPENDED.get():
         stage = _CURRENT_STAGE.get()
@@ -112,7 +117,22 @@ def get_precision() -> lax.Precision:
             override = _SCHEDULE(stage)
             if override is not None:
                 tier = override
-    return _TIERS[tier]
+    return tier
+
+
+def int8_active() -> bool:
+    """True when the current stage's resolved tier is the int8 serving
+    tier.  Conv sites that support the int8 MXU core consult this at
+    trace time; all other ops in the stage fall back to bf16 via
+    get_precision."""
+    return get_tier() == "int8"
+
+
+def get_precision() -> lax.Precision:
+    tier = get_tier()
+    # ops without an int8 path (demod dot, blur, style MLP) run the
+    # throughput precision inside an int8-scheduled stage
+    return _TIERS.get(tier, _TIERS["default"])
 
 
 def cast_pytree(tree, dtype):

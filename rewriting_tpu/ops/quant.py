@@ -78,9 +78,11 @@ def conv2d_w8a8(x, w_i8, w_scale, *, window_strides=(1, 1),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
         preferred_element_type=jnp.int32)
     # w_scale is (O,1,1,1) for OIHW axis=0 -> broadcast over the NHWC
-    # channel-last output as (O,)
-    rescale = (x_scale * w_scale.reshape(-1)).astype(out_dtype)
-    return acc.astype(out_dtype) * rescale
+    # channel-last output as (O,).  Dequantize in fp32 (the int32
+    # accumulator is exact; a low-precision out_dtype only rounds once,
+    # at the final cast).
+    rescale = x_scale * w_scale.reshape(-1).astype(jnp.float32)
+    return (acc.astype(jnp.float32) * rescale).astype(out_dtype)
 
 
 def dequantize(w_i8, scale, dtype=jnp.float32):

@@ -351,3 +351,50 @@ def test_fused_upconv_broadcast_noise(goldens):
         set_fused_upconv("off", min_res=256)
     rel = np.max(np.abs(o_fast - o_seq)) / np.max(np.abs(o_seq))
     assert rel < 1e-4, rel
+
+
+def test_int8_tier_schedule(goldens):
+    """The int8 serving tier (ops/quant.py): a schedule returning "int8"
+    routes the dconv stages through the quantized MXU core.  Unlike the
+    bf16 tiers, the quantization is numerically active on every backend,
+    so quality is assertable on CPU: the quantized forward must track the
+    fp32 forward within W8A8 noise, and the rewriter-side suspension
+    contract must keep edits bit-exact."""
+    from rewriting_tpu.models.stylegan2 import mixed_precision_schedule
+    from rewriting_tpu.ops import precision
+
+    # tier resolution plumbing
+    precision.set_precision("highest")
+    precision.set_precision_schedule(
+        mixed_precision_schedule(min_res=8, tier="int8", keep_rgb=True))
+    try:
+        with precision.stage_scope("layer4.sconv.mconv.dconv"):  # res 8
+            assert precision.int8_active()
+            # non-conv ops inside an int8 stage run throughput precision
+            assert precision.get_precision() == jax.lax.Precision.DEFAULT
+        with precision.stage_scope("to_rgb3.rgb"):  # keep_rgb pins global
+            assert not precision.int8_active()
+        with precision.schedule_suspended():
+            with precision.stage_scope("layer4.sconv.mconv.dconv"):
+                assert not precision.int8_active()
+
+        g, model, params = _golden_model(goldens)
+        z = jnp.asarray(g["z"])
+        quant_out = np.asarray(model(params, z))
+        precision.set_precision_schedule(None)
+        ref_out = np.asarray(model(params, z))
+        assert quant_out.shape == ref_out.shape
+        err = quant_out - ref_out
+        assert np.abs(err).max() > 0, "int8 path did not activate"
+        psnr = 10 * np.log10(4.0 / np.mean(np.square(err)))
+        assert psnr > 30.0, psnr  # W8A8 noise, not a broken path
+
+        # suspension: the solver-side pinned forward is bit-identical to
+        # the no-schedule forward
+        precision.set_precision_schedule(
+            mixed_precision_schedule(min_res=8, tier="int8"))
+        with precision.schedule_suspended():
+            pinned = np.asarray(model(params, z))
+        np.testing.assert_array_equal(pinned, ref_out)
+    finally:
+        precision.set_precision_schedule(None)
