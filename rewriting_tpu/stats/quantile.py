@@ -73,6 +73,11 @@ class RunningQuantile:
         self.levels: List[jnp.ndarray] = []
         self.fill: List[int] = []
         self.extremes: Optional[jnp.ndarray] = None  # (units, 2) min/max
+        # query-side caches, keyed on _version (bumped by every mutation):
+        # the merged summary and its offset-flattened search index
+        self._version = 0
+        self._summary_cache = None
+        self._flat_cache = {}
         if state is not None:
             self.set_state_dict(state)
 
@@ -99,6 +104,7 @@ class RunningQuantile:
         self.extremes = _extremes_update(self.extremes, x)
         self.count += batch.shape[0]
         self.batchcount += 1
+        self._version += 1
         n = x.shape[1]
         pos = 0
         while pos < n:
@@ -134,7 +140,17 @@ class RunningQuantile:
     # -- summary ------------------------------------------------------------
     def _summary(self):
         """(values (units, M) sorted, weights (units, M)) merged across
-        levels — host numpy; called once per statistic, not per batch."""
+        levels — host numpy.  Memoized on the mutation version: interactive
+        query paths (gandissect scoring, Search ranking) call this many
+        times against a frozen sketch."""
+        if (self._summary_cache is not None
+                and self._summary_cache[0] == self._version):
+            return self._summary_cache[1]
+        out = self._summary_uncached()
+        self._summary_cache = (self._version, out)
+        return out
+
+    def _summary_uncached(self):
         vals, weights = [], []
         for lvl, (buf, f) in enumerate(zip(self.levels, self.fill)):
             if f > 0:
@@ -153,6 +169,55 @@ class RunningQuantile:
     def _np_extremes(self):
         return np.asarray(self.extremes)
 
+    # Crossover between the two _row_searchsorted strategies, measured on
+    # this image's 1-core host at U=512, M=4096 (see docs/PERF_NOTES.md
+    # round 5): the cached flat search is 9.7x faster at N=1 and ~1.07x at
+    # N=64, but 0.74x at N=6400 — its binary searches are log2(U*M) deep
+    # instead of log2(M), which loses once the per-row numpy-call overhead
+    # is amortized over many queries per unit.
+    _FLAT_SEARCH_MAX_N = 128
+
+    def _flat_index(self, key, a):
+        """Offset-flattened copy of row-sorted a (U, M), cached per sketch
+        version, so repeated interactive queries pay the O(U*M) transform
+        once. Returns None when a is non-finite (flat offsets would NaN)."""
+        tag = (self._version, key)
+        hit = self._flat_cache.get(key)
+        if hit is not None and hit[0] == tag[0]:
+            return hit[1]
+        a64 = np.asarray(a, np.float64)
+        if not np.isfinite(a64).all():
+            entry = None
+        else:
+            lo = a64.min() - 1.0
+            hi = a64.max() + 1.0
+            span = (hi - lo) + 1.0
+            offs = np.arange(a64.shape[0], dtype=np.float64)[:, None] * span
+            entry = ((a64 - lo) + offs).ravel(), lo, hi, offs
+        self._flat_cache[key] = (self._version, entry)
+        return entry
+
+    def _row_searchsorted(self, key, a, b, side="left"):
+        """Batched per-row searchsorted: a (U, M) row-sorted, b (U, N) ->
+        indices (U, N) in [0, M].  Hybrid, measured on this host (see
+        _FLAT_SEARCH_MAX_N): small-N interactive queries go through one
+        flat ``np.searchsorted`` over a version-cached row-offset copy of
+        a; bulk queries (gandissect scoring over all pixels x units,
+        rewrite/rewriter.py:441-451) keep the per-row loop, which wins
+        there because each search stays log2(M) deep."""
+        a = np.asarray(a)
+        b = np.asarray(b)
+        U, M = a.shape
+        entry = (self._flat_index(key, a)
+                 if b.shape[1] <= self._FLAT_SEARCH_MAX_N else None)
+        if entry is not None and np.isfinite(b).all():
+            a_flat, lo, hi, offs = entry
+            b64 = np.clip(b.astype(np.float64), lo, hi)
+            flat = np.searchsorted(a_flat, (b64 - lo) + offs, side)
+            return flat - np.arange(U)[:, None] * M
+        return np.stack([np.searchsorted(a[u], b[u], side)
+                         for u in range(U)])
+
     def quantiles(self, qs):
         """Per-unit quantile estimates; qs scalar or array in [0,1].
         Returns (units, len(qs)). Endpoints are the exact extremes."""
@@ -161,13 +226,30 @@ class RunningQuantile:
         extremes = self._np_extremes()
         cum = np.cumsum(w, axis=1)
         total = cum[:, -1:]
-        # midpoint rank positions of each summary sample
+        # midpoint rank positions of each summary sample; strictly
+        # increasing per row (w > 0), so linear interpolation between
+        # neighbors reproduces np.interp without the per-unit loop
         positions = (cum - w / 2.0) / total
-        out = np.empty((v.shape[0], len(qs)), np.float32)
-        for u in range(v.shape[0]):
-            out[u] = np.interp(qs, positions[u], v[u],
-                               left=extremes[u, 0],
-                               right=extremes[u, 1])
+        U, M = positions.shape
+        i = self._row_searchsorted("positions", positions,
+                                   np.broadcast_to(qs, (U, len(qs))),
+                                   side="right")
+        lo_i = np.clip(i - 1, 0, M - 1)
+        hi_i = np.clip(i, 0, M - 1)
+        plo = np.take_along_axis(positions, lo_i, axis=1)
+        phi = np.take_along_axis(positions, hi_i, axis=1)
+        vlo = np.take_along_axis(v.astype(np.float64), lo_i, axis=1)
+        vhi = np.take_along_axis(v.astype(np.float64), hi_i, axis=1)
+        denom = phi - plo
+        t = np.clip((qs[None, :] - plo)
+                    / np.where(denom > 0, denom, 1.0), 0.0, 1.0)
+        out = vlo + t * (vhi - vlo)
+        # outside the summary's rank range: the exact extremes
+        out = np.where(qs[None, :] < positions[:, :1],
+                       extremes[:, :1].astype(np.float64), out)
+        out = np.where(qs[None, :] > positions[:, -1:],
+                       extremes[:, 1:].astype(np.float64), out)
+        out = out.astype(np.float32)
         # exact endpoints
         out[:, qs <= 0.0] = extremes[:, :1]
         out[:, qs >= 1.0] = extremes[:, 1:]
@@ -183,11 +265,11 @@ class RunningQuantile:
         v, w = self._summary()
         cum = np.cumsum(w, axis=1)
         total = cum[:, -1]
-        out = np.empty_like(values)
-        for u in range(v.shape[0]):
-            idx = np.searchsorted(v[u], values[u], side="right")
-            ranks = np.where(idx > 0, cum[u][np.maximum(idx - 1, 0)], 0.0)
-            out[u] = ranks / total[u]
+        idx = self._row_searchsorted("values", v, values, side="right")
+        ranks = np.where(idx > 0,
+                         np.take_along_axis(cum, np.maximum(idx - 1, 0),
+                                            axis=1), 0.0)
+        out = (ranks / total[:, None]).astype(np.float32)
         out = np.clip(out, 0.0, 1.0)
         return jnp.asarray(out[:, 0] if squeeze else out)
 
@@ -228,6 +310,9 @@ class RunningQuantile:
         return d
 
     def set_state_dict(self, d):
+        self._version += 1
+        self._summary_cache = None
+        self._flat_cache = {}
         self.resolution = int(d["resolution"])
         self.cap = int(d["cap"])
         self.count = float(d["count"])
