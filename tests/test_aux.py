@@ -69,6 +69,7 @@ def test_edited_params_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_dissect_on_stylegan(tmp_path, goldens):
     """Dissection works on the StyleGAN2 pipeline (bag carries noise)."""
     from rewriting_tpu.dissect import dissect

@@ -347,6 +347,7 @@ def test_read_batches_threaded_reader(tmp_path):
     gen.close()
 
 
+@pytest.mark.slow
 def test_bench_smoke_driver_contract():
     """The driver parses bench.py's LAST stdout line as one JSON object
     with metric/value/unit/vs_baseline keys — pin that contract."""
