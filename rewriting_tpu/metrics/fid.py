@@ -116,6 +116,21 @@ def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return d["mu"], d["sigma"]
 
 
+def parity_images(seed: int, n: int = 64, size: int = 128) -> np.ndarray:
+    """Deterministic uint8 image set for the FID A/B parity gate
+    (BASELINE.md north star: |ours - pytorch-fid| <= 0.1 on a fixed set).
+
+    Pure numpy so scripts/make_goldens.py (torch side, offline) and
+    tests/test_real_weights.py (jax side) generate bit-identical pixels:
+    low-resolution RandomState noise kron-upsampled for spatial structure
+    plus fine noise, quantized to uint8.  Returns (n, size, size, 3)."""
+    rng = np.random.RandomState(seed)
+    coarse = rng.uniform(0.15, 0.85, (n, size // 16, size // 16, 3))
+    imgs = np.kron(coarse, np.ones((1, 16, 16, 1)))
+    imgs = imgs + rng.uniform(-0.08, 0.08, imgs.shape)
+    return (np.clip(imgs, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+
+
 def _image_dir_batches(path: str, batch_size: int, as_uint8: bool = False):
     """Decode {path}/*.png|jpg into zc batches; with as_uint8=True yield
     raw uint8 batches (the FeatureExtractor normalizes on device — 4x

@@ -609,6 +609,61 @@ def make_real_weight_goldens():
         print(f"{pg_ckpt} absent; fixture skipped")
 
 
+def make_fid_parity_golden(n=64, size=128):
+    """Reference FID value for the A/B parity gate (BASELINE.md north
+    star, reference metrics/fid.py:137-187): run the pytorch-fid package
+    (the de-facto reference FID implementation; the reference repo's
+    TF-graphdef variant matches it to ~1e-3) on the deterministic
+    parity_images set and record the scalar, so
+    tests/test_real_weights.py::test_fid_matches_pytorch_fid_reference
+    can assert |ours - reference| <= 0.1 with no torch at test time.
+
+    Needs: $REWRITING_TPU_WEIGHTS (for goldens/ placement and the
+    pt_inception checkpoint pytorch_fid auto-downloads or reuses) and
+    `pip install pytorch-fid` in THIS offline environment — skipped with
+    a message otherwise."""
+    import json
+    import os
+    import tempfile
+    wd = os.environ.get("REWRITING_TPU_WEIGHTS", "")
+    if not wd or not os.path.isdir(wd):
+        print("fid parity golden skipped: $REWRITING_TPU_WEIGHTS unset")
+        return
+    try:
+        from pytorch_fid import fid_score
+        from pytorch_fid.inception import InceptionV3
+    except ImportError:
+        print("fid parity golden skipped: pip install pytorch-fid first")
+        return
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from rewriting_tpu.metrics.fid import parity_images
+
+    # point pytorch-fid at the mounted checkpoint instead of the network
+    ckpt = os.path.join(wd, "pt_inception-2015-12-05.pth")
+    if os.path.isfile(ckpt):
+        os.environ.setdefault("TORCH_HOME", wd)
+
+    from PIL import Image
+    with tempfile.TemporaryDirectory() as td:
+        dirs = []
+        for tag, seed in (("a", 1), ("b", 2)):
+            d = os.path.join(td, tag)
+            os.makedirs(d)
+            for i, img in enumerate(parity_images(seed, n, size)):
+                Image.fromarray(img).save(os.path.join(d, f"{i:03d}.png"))
+            dirs.append(d)
+        value = fid_score.calculate_fid_given_paths(
+            dirs, batch_size=16, device="cpu",
+            dims=2048)
+    gdir = pathlib.Path(wd) / "goldens"
+    gdir.mkdir(exist_ok=True)
+    spec = {"n": n, "size": size, "seed_a": 1, "seed_b": 2,
+            "fid": float(value),
+            "tool": "pytorch-fid", "dims": 2048}
+    (gdir / "fid_parity.json").write_text(json.dumps(spec, indent=1))
+    print("fid_parity golden:", spec)
+
+
 # ---------------------------------------------------------------------------
 # NBB golden correspondences: run the reference neural-best-buddies
 # algorithm (baselines/neural_best_buddies/algorithms/neural_best_buddies.py)
@@ -765,3 +820,4 @@ if __name__ == "__main__":
     make_upernet_golden()
     make_nbb_golden()
     make_real_weight_goldens()
+    make_fid_parity_golden()

@@ -363,3 +363,16 @@ def test_slimnet_converter_and_forward():
     extra["mystery.weight"] = np.zeros((1,), np.float32)
     with pytest.raises(ValueError, match="unconsumed"):
         slimnet.params_from_state_dict(extra)
+
+def test_parity_images_pinned():
+    """The FID A/B parity gate's image set must never drift: the golden
+    (make_goldens.py::make_fid_parity_golden, offline torch side) and the
+    gated test generate pixels independently, so pin the exact bytes."""
+    import hashlib
+    a = fid_mod.parity_images(1)
+    b = fid_mod.parity_images(2)
+    assert a.shape == (64, 128, 128, 3) and a.dtype == np.uint8
+    ha = hashlib.sha256(a.tobytes()).hexdigest()
+    hb = hashlib.sha256(b.tobytes()).hexdigest()
+    assert ha.startswith("f20c287675485a38"), ha
+    assert hb.startswith("f9e028b051025e68"), hb

@@ -155,6 +155,35 @@ def test_fid_real_inception_self_consistency():
     assert fid_ab > 1.0, fid_ab
 
 
+@requires("pt_inception-2015-12-05.pth")
+@requires("goldens", "fid_parity.json")
+def test_fid_matches_pytorch_fid_reference():
+    """The BASELINE.md north star made testable: FID between two fixed
+    deterministic image sets must match the pytorch-fid reference value
+    (precomputed offline by scripts/make_goldens.py::make_fid_parity_golden
+    with the same pixels) to within 0.1 (reference metrics/fid.py:137-187;
+    the gate covers the Inception conversion, the bilinear 299-resize,
+    the uint8 normalization, and the Frechet solve end to end)."""
+    import json
+    from rewriting_tpu.metrics.fid import (FeatureExtractor,
+                                           calculate_frechet_distance,
+                                           compute_feature_stats,
+                                           parity_images)
+    spec = json.loads(
+        open(os.path.join(WD, "goldens", "fid_parity.json")).read())
+    fe = FeatureExtractor(batch_size=16)
+
+    def stats(seed):
+        imgs = parity_images(seed, spec["n"], spec["size"])
+        bs = fe.batch_size
+        return compute_feature_stats(
+            [imgs[i:i + bs] for i in range(0, len(imgs), bs)], fe)
+
+    ours = calculate_frechet_distance(*stats(spec["seed_a"]),
+                                      *stats(spec["seed_b"]))
+    assert abs(ours - spec["fid"]) <= 0.1, (ours, spec["fid"])
+
+
 # ---------------------------------------------------------------------------
 # segmenter with released unified-parsing weights
 # ---------------------------------------------------------------------------
