@@ -459,3 +459,14 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
             return tier
         return None
     return schedule
+
+
+def recommended_precision_schedule(model):
+    """The measured ProgGAN mixed-precision optimum (v5e sweep,
+    docs/PERF_NOTES.md round 4): min_res=16 holds a ~61 dB PSNR plateau
+    at every scale (PixelNorm re-normalizes after each conv, so trunk
+    rounding cannot compound), 1.87x the all-fp32 "high" rate at 256.
+    Scale-independent for this family — the plateau is set by the
+    keep_rgb fp32 output conv, not the trunk tier."""
+    del model  # the measured optimum is scale-independent for ProgGAN
+    return mixed_precision_schedule(16)

@@ -31,7 +31,7 @@ from __future__ import annotations
 import functools
 import math
 import re
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -1058,3 +1058,31 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
             return tier
         return None
     return schedule
+
+
+# measured per-scale optimum for the >=50 dB PSNR contract (v5e sweeps,
+# docs/PERF_NOTES.md rounds 4-5): key = model size, value = min_res
+_RECOMMENDED_MIN_RES = {256: 128, 512: 512, 1024: 1024}
+
+
+def recommended_precision_schedule(model) -> Callable[[str], Optional[str]]:
+    """The measured per-scale mixed-precision optimum for a SeqStyleGAN2
+    instance — the scale-aware default the round-4 sweeps called for: one
+    min_res does NOT fit all scales (docs/PERF_NOTES.md round-4 §512/§1024
+    tables).  Chooses the largest measured-optimal transition that holds
+    the >=50 dB PSNR + Frechet-delta-0 quality gate for ``model.size``:
+
+    ======  ========  ======================================
+    size    min_res   measured (v5e, global "high")
+    ======  ========  ======================================
+    256     128       908 img/s/chip, 1.62x high, 50.4 dB
+    512     512       328 img/s/chip, 1.37x high, 52.0 dB
+    1024    1024      100 img/s/chip, 1.12x high, 54.8 dB
+    ======  ========  ======================================
+
+    Unlisted sizes fall back to min_res=model size (the conservative
+    per-scale contract).  Install with
+    ``ops.precision.set_precision_schedule`` before the first trace; the
+    global tier stays the user's parity mode ("high"/"highest")."""
+    size = int(getattr(model, "size", 0)) or 1024
+    return mixed_precision_schedule(_RECOMMENDED_MIN_RES.get(size, size))

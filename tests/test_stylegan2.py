@@ -230,6 +230,50 @@ def test_mixed_precision_schedule():
     assert precision.get_precision() == lax.Precision.HIGHEST
 
 
+def test_recommended_precision_schedule_scale_aware():
+    """The scale-aware default (round-5): the recommended schedule picks
+    the measured per-scale min_res (256->128, 512->512, 1024->1024;
+    docs/PERF_NOTES.md round-4 tables) instead of a global 128, and the
+    ProgGAN family recommendation is min_res=16 at any scale."""
+    import types
+    from jax import lax
+    from rewriting_tpu.models import proggan, stylegan2
+    from rewriting_tpu.ops import precision
+
+    def decides(sched, stage, tier):
+        precision.set_precision("high")
+        precision.set_precision_schedule(sched)
+        try:
+            with precision.stage_scope(stage):
+                return precision.get_precision() == tier
+        finally:
+            precision.set_precision_schedule(None)
+
+    fake = lambda size: types.SimpleNamespace(size=size)
+    # 256 model: bf16 from res 128 (layer12 is 128-res)
+    s256 = stylegan2.recommended_precision_schedule(fake(256))
+    assert decides(s256, "layer12.sconv.mconv.dconv", lax.Precision.DEFAULT)
+    assert decides(s256, "layer10.sconv.mconv.dconv", lax.Precision.HIGH)
+    # 512 model: only the 512-res stages (layer15/16) drop to bf16
+    s512 = stylegan2.recommended_precision_schedule(fake(512))
+    assert decides(s512, "layer15.sconv.mconv.dconv", lax.Precision.DEFAULT)
+    assert decides(s512, "layer13.sconv.mconv.dconv", lax.Precision.HIGH)
+    # 1024 model: only the 1024-res stages (layer17/18)
+    s1024 = stylegan2.recommended_precision_schedule(fake(1024))
+    assert decides(s1024, "layer17.sconv.mconv.dconv",
+                   lax.Precision.DEFAULT)
+    assert decides(s1024, "layer15.sconv.mconv.dconv", lax.Precision.HIGH)
+    # unlisted scale: conservative min_res=size
+    s128 = stylegan2.recommended_precision_schedule(fake(128))
+    assert decides(s128, "layer11.sconv.mconv.dconv", lax.Precision.DEFAULT)
+    assert decides(s128, "layer9.sconv.mconv.dconv", lax.Precision.HIGH)
+    # ProgGAN: min_res=16 everywhere, output conv pinned
+    sp = proggan.recommended_precision_schedule(fake(256))
+    assert decides(sp, "layer5.conv", lax.Precision.DEFAULT)  # res 16
+    assert decides(sp, "layer4.conv", lax.Precision.HIGH)     # res 8
+    assert decides(sp, "output_256x256.conv", lax.Precision.HIGH)
+
+
 def test_precision_schedule_suspension():
     """The editing engine's parity guarantee: schedule_suspended() pins
     the global tier even inside a matching stage scope, and
