@@ -573,30 +573,9 @@ def main():
         return {"fused_pipeline_img_per_sec": round(batch / dtf, 1)}
     stage("fused_rate", _fused_rate, enabled=not args.smoke)
 
-    # ---- stage 8: other model scales (SURVEY §6: 512 cars, 1024 faces,
-    # ProgGAN) — each scale its own stage so one slow compile can't take
-    # the others down with it ----
-    def _scale_stage(sz, b):
-        m = SeqStyleGAN2(size=sz)
-        p = m.init_params(jax.random.PRNGKey(0))
-        r = measure(args.precision, m, p, b, m.prepare_noise(b),
-                    its=max(4, iters // 2))
-        return {f"stylegan2_{sz}_img_per_sec": round(r, 1)}
-
-    def _proggan_stage():
-        from rewriting_tpu.models import ProgressiveGenerator
-        pg = ProgressiveGenerator(resolution=256)
-        pp = pg.init_params(jax.random.PRNGKey(0))
-        fwd = tuned_jit(lambda z, p: pg(p, z))
-        dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
-        return {"proggan_256_img_per_sec": round(64 / dt, 1)}
-
-    do_scales = not (args.smoke or args.skip_scales)
-    stage("scale_512", lambda: _scale_stage(512, 16), enabled=do_scales)
-    stage("scale_1024", lambda: _scale_stage(1024, 8), enabled=do_scales)
-    stage("proggan_256", _proggan_stage, enabled=do_scales)
-
-    # ---- stage 9: §5.2 watermark-removal reps + §5.3 overfit baseline on
+    # ---- stage 8 (moved ahead of the scale sweeps, round 5:
+    # the driver-default 1200 s deadline must reach the
+    # watermark/overfit keys): §5.2 watermark-removal reps + §5.3 overfit baseline on
     # a REAL rewriter (reference make_watermark_images.py:61-74 and
     # ganrewrite.py:300-331 workloads; BASELINE.md rows 2-3) ----
     def _reference_workloads():
@@ -704,6 +683,30 @@ def main():
                 per_iter_ms * 20001 / 1000.0, 1),
         }
     stage("reference_workloads", _reference_workloads)
+
+    # ---- stage 9: other model scales (SURVEY §6: 512 cars, 1024 faces,
+    # ProgGAN) — each scale its own stage so one slow compile can't take
+    # the others down with it ----
+    def _scale_stage(sz, b):
+        m = SeqStyleGAN2(size=sz)
+        p = m.init_params(jax.random.PRNGKey(0))
+        r = measure(args.precision, m, p, b, m.prepare_noise(b),
+                    its=max(4, iters // 2))
+        return {f"stylegan2_{sz}_img_per_sec": round(r, 1)}
+
+    def _proggan_stage():
+        from rewriting_tpu.models import ProgressiveGenerator
+        pg = ProgressiveGenerator(resolution=256)
+        pp = pg.init_params(jax.random.PRNGKey(0))
+        fwd = tuned_jit(lambda z, p: pg(p, z))
+        dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
+        return {"proggan_256_img_per_sec": round(64 / dt, 1)}
+
+    do_scales = not (args.smoke or args.skip_scales)
+    stage("scale_512", lambda: _scale_stage(512, 16), enabled=do_scales)
+    stage("scale_1024", lambda: _scale_stage(1024, 8), enabled=do_scales)
+    stage("proggan_256", _proggan_stage, enabled=do_scales)
+
 
     # ---- stage 10: small end-to-end pipeline: sample -> save PNG ->
     # segment -> FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
