@@ -13,6 +13,15 @@ hot-layer shapes; docs/PERF_NOTES.md records the verdict).  The math
 here is backend-independent and exactness-tested on CPU against an
 explicit float emulation of the same rounding.
 
+Measured verdict on TPU v5e (round 5, docs/PERF_NOTES.md): NOT
+recommended — the MXU int8 core is real (1.31-1.78x microbench) but the
+unfusable activation-quant HBM pass and the per-tensor scale collapse
+under style modulation leave every int8 schedule strictly dominated by
+the plain bf16 "default" tier (slower AND lower PSNR end-to-end).  Kept
+as an explicit opt-in for backends where the full 2x int8 peak is
+delivered; the known quality fix (per-input-channel activation scales
+folded into the weight scales) is described in the PERF_NOTES entry.
+
 Reference counterpart: none — the reference (davidbau/rewriting) is
 fp32-only (setup/renv.yml:6-9); this is a TPU-native serving tier
 alongside ops/precision.py's bf16 policy.
