@@ -31,7 +31,7 @@ from __future__ import annotations
 import functools
 import math
 import re
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1014,7 +1014,8 @@ def stage_resolution(name: str) -> Optional[int]:
 
 
 def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
-                             keep_rgb: bool = True):
+                             keep_rgb: bool = True,
+                             pin: Tuple[str, ...] = ()):
     """The measured per-layer mixed-precision policy (VERDICT round-3
     item 2; sweep in docs/PERF_NOTES.md round 4): stages whose output
     resolution is >= min_res run their matmuls/convs at `tier` (bf16 MXU
@@ -1053,6 +1054,9 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
     def schedule(stage_name: str) -> Optional[str]:
         if keep_rgb and re.match(r"(up_rgb|to_rgb)\d+", stage_name):
             return None
+        if any(stage_name == p or stage_name.startswith(p + ".")
+               for p in pin):
+            return None
         r = stage_resolution(stage_name)
         if r is not None and r >= min_res:
             return tier
@@ -1061,8 +1065,9 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
 
 
 # measured per-scale optimum for the >=50 dB PSNR contract (v5e sweeps,
-# docs/PERF_NOTES.md rounds 4-5): key = model size, value = min_res
-_RECOMMENDED_MIN_RES = {256: 128, 512: 512, 1024: 1024}
+# docs/PERF_NOTES.md rounds 4-5): key = model size,
+# value = (min_res, pinned stages)
+_RECOMMENDED = {256: (128, ()), 512: (512, ()), 1024: (512, ("layer15",))}
 
 
 def recommended_precision_schedule(model) -> Callable[[str], Optional[str]]:
@@ -1072,17 +1077,24 @@ def recommended_precision_schedule(model) -> Callable[[str], Optional[str]]:
     tables).  Chooses the largest measured-optimal transition that holds
     the >=50 dB PSNR + Frechet-delta-0 quality gate for ``model.size``:
 
-    ======  ========  ======================================
-    size    min_res   measured (v5e, global "high")
-    ======  ========  ======================================
-    256     128       908 img/s/chip, 1.62x high, 50.4 dB
-    512     512       328 img/s/chip, 1.37x high, 52.0 dB
-    1024    1024      100 img/s/chip, 1.12x high, 54.8 dB
-    ======  ========  ======================================
+    ======  =================  ======================================
+    size    schedule           measured (v5e, global "high")
+    ======  =================  ======================================
+    256     min_res=128        908 img/s/chip, 1.62x high, 50.4 dB
+    512     min_res=512        328 img/s/chip, 1.37x high, 52.0 dB
+    1024    512 + pin layer15  108.9 img/s/chip, 1.21x high, 51.5 dB
+    ======  =================  ======================================
+
+    The 1024 entry is the round-5 fine-grained discovery
+    (scripts/bench_mixed_fine.py): the per-resolution knob moves both
+    512-res convs at once and misses the gate by 0.2 dB, but pinning just
+    the 256->512 up-conv (layer15) fp32 recovers +1.7 dB at zero
+    throughput cost — +8.6% over the conservative min_res=1024 row.
 
     Unlisted sizes fall back to min_res=model size (the conservative
     per-scale contract).  Install with
     ``ops.precision.set_precision_schedule`` before the first trace; the
     global tier stays the user's parity mode ("high"/"highest")."""
     size = int(getattr(model, "size", 0)) or 1024
-    return mixed_precision_schedule(_RECOMMENDED_MIN_RES.get(size, size))
+    min_res, pin = _RECOMMENDED.get(size, (size, ()))
+    return mixed_precision_schedule(min_res, pin=pin)

@@ -258,11 +258,15 @@ def test_recommended_precision_schedule_scale_aware():
     s512 = stylegan2.recommended_precision_schedule(fake(512))
     assert decides(s512, "layer15.sconv.mconv.dconv", lax.Precision.DEFAULT)
     assert decides(s512, "layer13.sconv.mconv.dconv", lax.Precision.HIGH)
-    # 1024 model: only the 1024-res stages (layer17/18)
+    # 1024 model (round-5 fine-grained optimum): bf16 from res 512 with
+    # the 256->512 up-conv (layer15) pinned fp32
     s1024 = stylegan2.recommended_precision_schedule(fake(1024))
     assert decides(s1024, "layer17.sconv.mconv.dconv",
                    lax.Precision.DEFAULT)
+    assert decides(s1024, "layer16.sconv.mconv.dconv",
+                   lax.Precision.DEFAULT)
     assert decides(s1024, "layer15.sconv.mconv.dconv", lax.Precision.HIGH)
+    assert decides(s1024, "layer14.sconv.mconv.dconv", lax.Precision.HIGH)
     # unlisted scale: conservative min_res=size
     s128 = stylegan2.recommended_precision_schedule(fake(128))
     assert decides(s128, "layer11.sconv.mconv.dconv", lax.Precision.DEFAULT)
