@@ -1067,7 +1067,8 @@ def mixed_precision_schedule(min_res: int = 128, tier: str = "default",
 # measured per-scale optimum for the >=50 dB PSNR contract (v5e sweeps,
 # docs/PERF_NOTES.md rounds 4-5): key = model size,
 # value = (min_res, pinned stages)
-_RECOMMENDED = {256: (128, ()), 512: (512, ()), 1024: (512, ("layer15",))}
+_RECOMMENDED = {256: (128, ()), 512: (256, ("layer13",)),
+                1024: (512, ("layer15",))}
 
 
 def recommended_precision_schedule(model) -> Callable[[str], Optional[str]]:
@@ -1081,15 +1082,20 @@ def recommended_precision_schedule(model) -> Callable[[str], Optional[str]]:
     size    schedule           measured (v5e, global "high")
     ======  =================  ======================================
     256     min_res=128        908 img/s/chip, 1.62x high, 50.4 dB
-    512     min_res=512        328 img/s/chip, 1.37x high, 52.0 dB
+    512     256 + pin layer13  352.9 img/s/chip, 1.47x high, 50.4 dB
     1024    512 + pin layer15  108.9 img/s/chip, 1.21x high, 51.5 dB
     ======  =================  ======================================
 
-    The 1024 entry is the round-5 fine-grained discovery
+    The 512/1024 entries are the round-5 fine-grained discovery
     (scripts/bench_mixed_fine.py): the per-resolution knob moves both
-    512-res convs at once and misses the gate by 0.2 dB, but pinning just
-    the 256->512 up-conv (layer15) fp32 recovers +1.7 dB at zero
-    throughput cost — +8.6% over the conservative min_res=1024 row.
+    styled convs of a resolution at once and overshoots the gate, but
+    pinning just the UP-conv of the second-highest resolution fp32
+    (layer13 at 512-scale, layer15 at 1024-scale) recovers the >=50 dB
+    gate at little-to-no throughput cost — +7.5% / +8.6% over the
+    conservative min_res=model-size rows.  The up-conv is the
+    quality-dominant half of the pair (its output feeds both the next
+    conv and the rgb skip) and its dilated formulation is the less
+    MXU-efficient one, so keeping it fp32 is nearly free.
 
     Unlisted sizes fall back to min_res=model size (the conservative
     per-scale contract).  Install with

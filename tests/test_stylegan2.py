@@ -254,10 +254,13 @@ def test_recommended_precision_schedule_scale_aware():
     s256 = stylegan2.recommended_precision_schedule(fake(256))
     assert decides(s256, "layer12.sconv.mconv.dconv", lax.Precision.DEFAULT)
     assert decides(s256, "layer10.sconv.mconv.dconv", lax.Precision.HIGH)
-    # 512 model: only the 512-res stages (layer15/16) drop to bf16
+    # 512 model (round-5 fine-grained optimum): bf16 from res 256 with
+    # the 128->256 up-conv (layer13) pinned fp32
     s512 = stylegan2.recommended_precision_schedule(fake(512))
     assert decides(s512, "layer15.sconv.mconv.dconv", lax.Precision.DEFAULT)
+    assert decides(s512, "layer14.sconv.mconv.dconv", lax.Precision.DEFAULT)
     assert decides(s512, "layer13.sconv.mconv.dconv", lax.Precision.HIGH)
+    assert decides(s512, "layer12.sconv.mconv.dconv", lax.Precision.HIGH)
     # 1024 model (round-5 fine-grained optimum): bf16 from res 512 with
     # the 256->512 up-conv (layer15) pinned fp32
     s1024 = stylegan2.recommended_precision_schedule(fake(1024))
