@@ -707,6 +707,32 @@ def main():
     stage("scale_1024", lambda: _scale_stage(1024, 8), enabled=do_scales)
     stage("proggan_256", _proggan_stage, enabled=do_scales)
 
+    # ---- stage 9b: the round-5 capacity-scale recommended schedules
+    # (fine-grained mixed: min_res one octave below the model size with
+    # that octave's up-conv pinned fp32 — scripts/bench_mixed_fine.py;
+    # quality gates measured there: 50.4 dB @ 512, 51.5 dB @ 1024,
+    # feature-Frechet delta 0.0) ----
+    def _recommended_scale(sz, b):
+        from rewriting_tpu.models.stylegan2 import (
+            recommended_precision_schedule)
+        m = SeqStyleGAN2(size=sz)
+        p = m.init_params(jax.random.PRNGKey(0))
+        nz = m.prepare_noise(b)
+        set_precision("high")
+        set_precision_schedule(recommended_precision_schedule(m))
+        try:
+            fwd = tuned_jit(lambda z, pp, n: m(pp, z, n))
+            dt = timeit_distinct(fwd, zbatches(m, b), p, nz,
+                                 iters=max(4, iters // 2))
+            return {f"recommended_mixed_{sz}_img_per_sec": round(b / dt, 1)}
+        finally:
+            set_precision_schedule(None)
+
+    stage("recommended_512", lambda: _recommended_scale(512, 32),
+          enabled=do_scales)
+    stage("recommended_1024", lambda: _recommended_scale(1024, 8),
+          enabled=do_scales)
+
 
     # ---- stage 10: small end-to-end pipeline: sample -> save PNG ->
     # segment -> FID-stats; wall-clock + 10k extrapolation (SURVEY §6) ----
