@@ -728,9 +728,12 @@ def main():
         finally:
             set_precision_schedule(None)
 
+    # batches are the measured serving optima (PERF_NOTES round 5: the
+    # 1024 capacity edge is between batch 24 and 32; batch 24 = 128.3
+    # img/s vs 106.8 at the old batch 8)
     stage("recommended_512", lambda: _recommended_scale(512, 32),
           enabled=do_scales)
-    stage("recommended_1024", lambda: _recommended_scale(1024, 8),
+    stage("recommended_1024", lambda: _recommended_scale(1024, 24),
           enabled=do_scales)
 
 
