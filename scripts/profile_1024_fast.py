@@ -67,9 +67,10 @@ def main():
                           "delta_ms": round(dt - prev, 2)}), flush=True)
         prev = dt
 
-    # batch-capacity probe: does batch 16 fit, and what does it buy?
+    # batch-capacity probe (PERF_NOTES round 5: 24 is the measured
+    # serving optimum; 32 OOMs — the capacity edge)
     from rewriting_tpu.models.stylegan2 import recommended_precision_schedule
-    for b in (8, 16):
+    for b in (8, 16, 24, 32):
         zsb = [jax.random.normal(jax.random.PRNGKey(100 + i), (b, 512))
                for i in range(7)]
         jax.block_until_ready(zsb)
