@@ -702,10 +702,32 @@ def main():
         dt = timeit_distinct(fwd, zbatches(pg, 64), pp, iters=iters)
         return {"proggan_256_img_per_sec": round(64 / dt, 1)}
 
+    def _proggan_recommended():
+        # serving point (PERF_NOTES round 5): batch 128 saturates the
+        # chip (+49% over the historical batch-64 row) and the measured
+        # family schedule (min_res=16, 61 dB) rides on top
+        from rewriting_tpu.models import ProgressiveGenerator
+        from rewriting_tpu.models.proggan import (
+            recommended_precision_schedule)
+        pg = ProgressiveGenerator(resolution=256)
+        pp = pg.init_params(jax.random.PRNGKey(0))
+        set_precision("high")
+        set_precision_schedule(recommended_precision_schedule(pg))
+        try:
+            fwd = tuned_jit(lambda z, p: pg(p, z))
+            dt = timeit_distinct(fwd, zbatches(pg, 128), pp,
+                                 iters=max(4, iters // 2))
+            return {"recommended_proggan_256_img_per_sec": round(
+                128 / dt, 1)}
+        finally:
+            set_precision_schedule(None)
+
     do_scales = not (args.smoke or args.skip_scales)
     stage("scale_512", lambda: _scale_stage(512, 16), enabled=do_scales)
     stage("scale_1024", lambda: _scale_stage(1024, 8), enabled=do_scales)
     stage("proggan_256", _proggan_stage, enabled=do_scales)
+    stage("recommended_proggan_256", _proggan_recommended,
+          enabled=do_scales)
 
     # ---- stage 9b: the round-5 capacity-scale recommended schedules
     # (fine-grained mixed: min_res one octave below the model size with
